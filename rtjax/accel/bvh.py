@@ -1,0 +1,100 @@
+"""Flattened BVH arrays — the device-side acceleration structure.
+
+TPU-native equivalent of the reference's ``Bvh`` node array
+(/root/reference/bvh.cuh:4-28).  The pointer-linked node struct becomes four
+dense HBM arrays ready for gather-based or Pallas traversal:
+
+- ``bmin``/``bmax [M, 3]``: child AABBs, split min/max (the reference's
+  interleaved ``bounds[6]`` layout exists only to enable the per-octant index
+  trick, which vectorized ``jnp.where(neg_dir, bmax, bmin)`` replaces).
+- ``left_first [M]``: left-child index for internal nodes (children are
+  always allocated adjacently: right = left + 1, bvh.cuh:153-154), or the
+  first primitive index for leaves.
+- ``num_prims [M]``: 0 for internal nodes; leaf primitive count otherwise.
+
+Primitives are permuted into leaf order at build time (bvh.cuh:208), so a
+leaf's primitives are the contiguous triangle indices
+``[left_first, left_first + num_prims)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BvhArrays:
+    bmin: jax.Array        # [M, 3] float32
+    bmax: jax.Array        # [M, 3] float32
+    left_first: jax.Array  # [M] int32
+    num_prims: jax.Array   # [M] int32
+
+    @property
+    def num_nodes(self) -> int:
+        return self.bmin.shape[0]
+
+
+@dataclasses.dataclass
+class BuildResult:
+    """Host-side output of a BVH build (NumPy arrays + stats)."""
+
+    bmin: np.ndarray
+    bmax: np.ndarray
+    left_first: np.ndarray
+    num_prims: np.ndarray
+    perm: np.ndarray        # [P] original-triangle index per leaf-order slot
+    num_nodes: int
+    max_depth: int
+
+    def to_device(self) -> BvhArrays:
+        return BvhArrays(
+            bmin=jnp.asarray(self.bmin[:self.num_nodes]),
+            bmax=jnp.asarray(self.bmax[:self.num_nodes]),
+            left_first=jnp.asarray(self.left_first[:self.num_nodes]),
+            num_prims=jnp.asarray(self.num_prims[:self.num_nodes]),
+        )
+
+
+def validate(res: BuildResult, tri_bmin: np.ndarray, tri_bmax: np.ndarray) -> None:
+    """Structural invariants from bvh.cuh:5-13,153-154 (used by tests).
+
+    - every primitive appears exactly once across leaves,
+    - children are adjacent (right = left + 1) and within bounds,
+    - every node's bbox contains the bboxes of its primitives.
+    """
+    m = res.num_nodes
+    covered = np.zeros(len(res.perm), bool)
+
+    def walk(node, depth):
+        assert depth <= 64, "runaway depth"
+        np_ = res.num_prims[node]
+        if np_ > 0:
+            first = res.left_first[node]
+            assert not covered[first:first + np_].any(), "primitive covered twice"
+            covered[first:first + np_] = True
+            lo = tri_bmin[res.perm[first:first + np_]]
+            hi = tri_bmax[res.perm[first:first + np_]]
+            assert (res.bmin[node] <= lo.min(0) + 1e-6).all()
+            assert (res.bmax[node] >= hi.max(0) - 1e-6).all()
+        else:
+            left = res.left_first[node]
+            assert 0 < left and left + 1 < m, "child index out of range"
+            for c in (left, left + 1):
+                assert (res.bmin[node] <= res.bmin[c] + 1e-6).all()
+                assert (res.bmax[node] >= res.bmax[c] - 1e-6).all()
+            walk(left, depth + 1)
+            walk(left + 1, depth + 1)
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(10000)
+    try:
+        walk(0, 0)
+    finally:
+        sys.setrecursionlimit(old)
+    assert covered.all(), "some primitive not covered by any leaf"

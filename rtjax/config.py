@@ -1,0 +1,38 @@
+"""Render configuration.
+
+The reference has compile-time constants only (/root/reference/constant.hpp
+plus literals in main.cu:159-170); this dataclass exposes the same knobs with
+the same defaults, per render call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from . import constants
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 600
+    height: int = 600
+    num_samples: int = 10          # spp (main.cu:169)
+    max_bounces: int = 10          # (main.cu:170)
+    num_working_paths: int = constants.NUM_WORKING_PATHS
+    rr_start: int = constants.RR_START
+    rr_threshold: float = constants.RR_THRESHOLD
+    seed: int = constants.RAND_SEED
+    stack_size: int = constants.BVH_MAX_DEPTH
+    # traversal kernel: "xla" (gather-based vmapped while_loop) or "pallas"
+    traversal: str = "xla"
+    # upper bound on wavefront iterations (safety net for the while_loop);
+    # None derives it from the workload.
+    max_iterations: int | None = None
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+    @property
+    def total_camera_rays(self) -> int:
+        return self.num_pixels * self.num_samples

@@ -1,0 +1,36 @@
+"""Stateless, counter-based RNG for the wavefront engine.
+
+The reference keeps one mutable cuRAND XORWOW state per path slot, seeded with
+``curand_init(seed=1, sequence=slot_id)`` and explicitly round-tripped through
+registers in each kernel (/root/reference/render.cuh:68-73,156,247).
+
+On TPU the idiomatic equivalent is JAX's counter-based threefry: instead of
+2^20 mutable states we derive every uniform from ``(seed, draw_site, lane)``.
+Each *draw site* (a static (iteration, purpose) pair) folds its id into the
+base key once and then draws a whole ``[N]`` batch, giving one threefry sweep
+per site per iteration — cheap, reproducible, and trivially shardable (each
+chip folds in its device index).  Parity with cuRAND is statistical, not
+bitwise, by design (SURVEY.md §7 hard part 3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def make_key(seed: int) -> jax.Array:
+    return jax.random.key(seed)
+
+
+def site_key(base_key, iteration, site: int, num_sites: int = 32):
+    """Key for draw site ``site`` of wavefront iteration ``iteration``.
+
+    ``iteration`` may be a traced int32; ``site``/``num_sites`` are static.
+    """
+    return jax.random.fold_in(base_key, iteration * num_sites + site)
+
+
+def uniform(base_key, iteration, site: int, shape) -> jax.Array:
+    """Batch of U[0,1) float32 draws for one draw site."""
+    return jax.random.uniform(site_key(base_key, iteration, site), shape, jnp.float32)

@@ -1,0 +1,255 @@
+"""The wavefront path-tracing engine.
+
+TPU-native rebuild of /root/reference/render.cuh — the reference's core.
+The CUDA design is a persistent pool of NUM_WORKING_PATHS slots driven by a
+host loop: ``init`` routes slots, CUB compacts pending queues (with two
+device->host count copies per bounce), then ``mat``/``gen`` shade and refill,
+and ``ah``/``ch`` traverse (SURVEY.md §2.1).
+
+Here the whole frame is ONE ``lax.while_loop`` on device:
+- queues + CUB compaction (render.cuh:348-364) are replaced by masks over the
+  full pool width — every stage is a batched masked function, and "compacted"
+  work simply rides predication (the TPU analog of wavefront compaction;
+  regeneration ranks come from a ``cumsum`` over the dead mask);
+- framebuffer atomics (vec3.cuh:149-153) become deterministic scatter-adds;
+- the two host sync points per bounce (render.cuh:433-434,444-445) disappear:
+  the loop condition is computed on device.
+
+Deliberate behavioral deviations from the reference (all documented against
+file:line, none visible statistically):
+1. A path that *misses* is regenerated immediately instead of idling until
+   its bounce counter exceeds max_bounces (render.cuh:128-136 routes a miss
+   to neither queue); radiance is unaffected, slot utilization is better.
+2. Russian-roulette termination actually kills the path (standard RR).  The
+   reference only drops the slot from the mat queue for one iteration — the
+   payload keeps ``hit=true`` (render.cuh:117-119), so a "killed" path is
+   re-rolled every following iteration until it survives or exceeds
+   max_bounces, a mild upward-bias quirk we do not replicate.
+3. The BSDF-sampling MIS shadow ray requires its closest hit to be the
+   *picked light's* triangle.  The reference stores the triangle the path is
+   standing on instead (render.cuh:236), which silently zeroes nearly the
+   whole BSDF-MIS channel; that is a bug, fixed here.
+4. ``power_heuristic`` takes float pdfs (utility.cuh:53 truncates one to int).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..constants import DEAD_BOUNCES, INVALID_INDEX
+from ..core import rng, vec
+from ..core.geometry import spawn_offset_ray
+from ..core.sampling import power_heuristic
+from ..kernels.traversal import traverse_anyhit, traverse_closest
+from ..scene.camera import Camera
+from ..scene.light import is_delta, pdf_li, sample_li
+from ..scene.material import get_f, is_specular, sample_f
+from ..scene.scene import Scene
+
+# RNG draw-site ids (one threefry sweep per site per iteration)
+_S_RR = 0
+_S_BSDF1 = 1        # 1,2,3
+_S_LIGHT_PICK = 4
+_S_LIGHT_UV = 5     # 5,6
+_S_BSDF2 = 7        # 7,8,9
+_S_GEN = 10         # 10,11
+NUM_RNG_SITES = 16
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PathState:
+    """SoA path-ray payload (render.cuh:10-18), one entry per pool slot."""
+
+    pixel: jax.Array    # [N] int32
+    ray_o: jax.Array    # [N, 3] float32
+    ray_d: jax.Array    # [N, 3] float32
+    hit: jax.Array      # [N] bool
+    u: jax.Array        # [N] float32 (barycentric)
+    v: jax.Array        # [N] float32
+    prim: jax.Array     # [N] int32 (global triangle index, -1 = none)
+    bounces: jax.Array  # [N] int32
+    beta: jax.Array     # [N, 3] float32 throughput
+
+
+def make_initial_state(n: int) -> PathState:
+    """Fresh pool: every slot dead so iteration 0 routes all to gen
+    (render.cuh:75-82 uses bounces=INT_MAX for the same purpose)."""
+    return PathState(
+        pixel=jnp.zeros(n, jnp.int32),
+        ray_o=jnp.zeros((n, 3), jnp.float32),
+        ray_d=jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (n, 1)),
+        hit=jnp.zeros(n, bool),
+        u=jnp.zeros(n, jnp.float32),
+        v=jnp.zeros(n, jnp.float32),
+        prim=jnp.full(n, INVALID_INDEX, jnp.int32),
+        bounces=jnp.full(n, DEAD_BOUNCES, jnp.int32),
+        beta=jnp.ones((n, 3), jnp.float32),
+    )
+
+
+def _scatter_add(fb, pixel, value, mask):
+    """Deterministic framebuffer accumulation (replaces Vec3::atomic_add)."""
+    val = jnp.where(mask[:, None], value, 0.0)
+    return fb.at[pixel].add(val, mode="drop")
+
+
+def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
+                   carry):
+    """One wavefront iteration == one bounce for all in-flight paths
+    (the body of the host loop at render.cuh:428-449)."""
+    state, fb, cam_start, it, _, rays_traced = carry
+    n = state.pixel.shape[0]
+    num_lights = scene.num_lights
+    cam_end = cfg.total_camera_rays
+
+    draw = lambda site: rng.uniform(key, it, site, (n,))
+
+    # ---- init: emission, Russian roulette, routing (render.cuh:84-137) ----
+    prim_safe = jnp.clip(state.prim, 0, scene.tris.num - 1)
+    light_idx = scene.prim_light[prim_safe]
+    emit0 = state.hit & (light_idx >= 0) & (state.bounces == 0)
+    emit_val = scene.lights.emit[jnp.maximum(light_idx, 0)]
+    fb = _scatter_add(fb, state.pixel, emit_val, emit0)
+
+    alive = state.bounces < cfg.max_bounces
+    beta = state.beta
+    beta_max = vec.vmax(beta)
+    rr_cand = alive & state.hit & (state.bounces > cfg.rr_start) & \
+        (beta_max < cfg.rr_threshold)
+    p_term = jnp.maximum(0.05, 1.0 - beta_max)
+    rr_kill = rr_cand & (draw(_S_RR) < p_term)
+    beta = jnp.where((rr_cand & ~rr_kill)[:, None],
+                     beta / (1.0 - p_term)[:, None], beta)
+
+    bounces = state.bounces + 1
+    mat_mask = alive & state.hit & ~rr_kill
+    gen_mask = ~mat_mask
+
+    # ---- mat: shading (render.cuh:139-248) --------------------------------
+    tri = scene.tris.gather(prim_safe)
+    mtype, albedo, ior = scene.materials.gather(scene.prim_material[prim_safe])
+    multiplier = beta * num_lights
+    p = tri.point(state.u, state.v)
+    n_g = -vec.normalize(tri.n)  # geometric normal convention (render.cuh:153)
+    wo = state.ray_d
+
+    # (1) BSDF-sample the next path ray (render.cuh:158-171)
+    f1, wi1, pdf1, n1 = sample_f(mtype, albedo, ior, wo, n_g,
+                                 draw(_S_BSDF1), draw(_S_BSDF1 + 1),
+                                 draw(_S_BSDF1 + 2))
+    next_o, next_d, _ = spawn_offset_ray(p, n1, wi1)
+    next_beta = beta * f1 * (vec.dot(wi1, n1) / pdf1)[:, None]
+
+    if num_lights > 0:
+        # uniform light pick (render.cuh:178-180)
+        pick = jnp.minimum((draw(_S_LIGHT_PICK) * num_lights).astype(jnp.int32),
+                           num_lights - 1)
+        delta = is_delta(scene.lights.ltype[pick])
+
+        # (2) light-sampling MIS -> AH shadow ray (render.cuh:183-210)
+        wi_l, li, light_t, light_pdf, ltri = sample_li(
+            scene.lights, scene.tris, pick, p,
+            draw(_S_LIGHT_UV), draw(_S_LIGHT_UV + 1))
+        n_l = jnp.where(vec.dot(n_g, wi_l)[:, None] > 0.0, n_g, -n_g)
+        got_f, f_l, scat_pdf = get_f(mtype, albedo, wo, wi_l, n_l)
+        f_lc = f_l * vec.dot(wi_l, n_l)[:, None]
+        w_l = jnp.where(delta, 1.0, power_heuristic(light_pdf, scat_pdf))
+        ah_L = multiplier * f_lc * li * (w_l / light_pdf)[:, None]
+        ah_o, ah_d, ah_tmax = spawn_offset_ray(p, n_l, wi_l, light_t)
+        ah_mask = mat_mask & got_f
+
+        # (3) BSDF-sampling MIS -> CH shadow ray (render.cuh:213-245)
+        f2, wi2, pdf2, n2 = sample_f(mtype, albedo, ior, wo, n_g,
+                                     draw(_S_BSDF2), draw(_S_BSDF2 + 1),
+                                     draw(_S_BSDF2 + 2))
+        f2c = f2 * vec.dot(wi2, n2)[:, None]
+        spec = is_specular(mtype)
+        lpdf2 = pdf_li(scene.lights, scene.tris, pick, p, wi2)
+        w2 = jnp.where(spec, 1.0, power_heuristic(pdf2, lpdf2))
+        chs_mask = mat_mask & ~delta & (spec | (lpdf2 > 0.0))
+        chs_L = multiplier * f2c * scene.lights.emit[pick] * \
+            (w2 / pdf2)[:, None]
+        chs_o, chs_d, _ = spawn_offset_ray(p, n2, wi2)
+        chs_target = ltri  # the picked light's triangle (fixes render.cuh:236)
+
+    # ---- gen: refill dead slots with camera rays (render.cuh:250-275) -----
+    gen_rank = jnp.cumsum(gen_mask) - gen_mask  # exclusive prefix sum
+    cam_id = cam_start + gen_rank.astype(jnp.int32)
+    got_ray = gen_mask & (cam_id < cam_end)
+    pix_new = cam_id // cfg.num_samples  # pixel-major sample ids
+    ci = (pix_new % cfg.width).astype(jnp.float32)
+    cj = (pix_new // cfg.width).astype(jnp.float32)
+    cam_o, cam_d = camera.get_rays((ci + draw(_S_GEN)) / cfg.width,
+                                   (cj + draw(_S_GEN + 1)) / cfg.height)
+    num_gen = jnp.sum(gen_mask).astype(jnp.int32)
+
+    # merge mat-continued and regenerated rays into the path-ray pool
+    m = mat_mask[:, None]
+    g = got_ray[:, None]
+    ray_o = jnp.where(m, next_o, jnp.where(g, cam_o, state.ray_o))
+    ray_d = jnp.where(m, next_d, jnp.where(g, cam_d, state.ray_d))
+    pixel = jnp.where(got_ray, pix_new, state.pixel)
+    beta = jnp.where(m, next_beta, jnp.where(g, 1.0, beta))
+    bounces = jnp.where(got_ray, 0, jnp.where(gen_mask, DEAD_BOUNCES, bounces))
+
+    # ---- traversal (render.cuh:278-328) ------------------------------------
+    trace_mask = mat_mask | got_ray
+    inf = jnp.full(n, jnp.inf, jnp.float32)
+    hit, _, hu, hv, hprim = traverse_closest(
+        scene.bvh, scene.tris, ray_o, ray_d, inf, trace_mask,
+        stack_size=cfg.stack_size)
+
+    traced = jnp.sum(trace_mask, dtype=jnp.float32)
+    if num_lights > 0:
+        occluded = traverse_anyhit(scene.bvh, scene.tris, ah_o, ah_d, ah_tmax,
+                                   ltri, ah_mask, stack_size=cfg.stack_size)
+        fb = _scatter_add(fb, state.pixel, ah_L, ah_mask & ~occluded)
+
+        hit2, _, _, _, hprim2 = traverse_closest(
+            scene.bvh, scene.tris, chs_o, chs_d, inf, chs_mask,
+            stack_size=cfg.stack_size)
+        fb = _scatter_add(fb, state.pixel, chs_L,
+                          chs_mask & hit2 & (hprim2 == chs_target))
+        traced = traced + jnp.sum(ah_mask, dtype=jnp.float32) + \
+            jnp.sum(chs_mask, dtype=jnp.float32)
+
+    new_state = PathState(pixel=pixel, ray_o=ray_o, ray_d=ray_d, hit=hit,
+                          u=hu, v=hv, prim=hprim, bounces=bounces, beta=beta)
+    work_left = jnp.any(trace_mask)
+    return (new_state, fb, cam_start + num_gen, it + 1, work_left,
+            rays_traced + traced)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig, key):
+    """Render a full frame; returns ``(framebuffer [H*W, 3], stats)``.
+
+    The equivalent of ``render()`` at render.cuh:366-457: initializes the
+    pool, iterates the wavefront until every camera ray is consumed and every
+    path has died (render.cuh:436's termination rule), then applies the
+    sqrt(mean) gamma-2 post-process (render.cuh:330-338).
+    """
+    n = cfg.num_working_paths
+    state = make_initial_state(n)
+    fb = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+    carry = (state, fb, jnp.int32(0), jnp.int32(0), jnp.bool_(False),
+             jnp.float32(0))
+
+    def cond(carry):
+        _, _, cam_start, it, work_left, _ = carry
+        more = work_left | (cam_start < cfg.total_camera_rays)
+        if cfg.max_iterations is not None:
+            more = more & (it < cfg.max_iterations)
+        return more
+
+    step = partial(wavefront_step, scene, camera, cfg, key)
+    state, fb, _, it, _, rays = jax.lax.while_loop(cond, step, carry)
+
+    fb = jnp.sqrt(fb / cfg.num_samples)  # gamma 2.0 (render.cuh:330-338)
+    return fb, {"iterations": it, "rays_traced": rays}

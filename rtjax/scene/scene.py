@@ -1,0 +1,170 @@
+"""Scene aggregate and host-side scene builder.
+
+TPU-native equivalent of /root/reference/scene.cuh, primitive.cuh, and the
+hand-rolled scene assembly in main.cu:39-156.  The reference's
+pointer-based ``Primitive{Triangle*, Material*, Light*}`` binding records
+(primitive.cuh:4-12) become two int32 index arrays over a single global
+triangle index space (the BVH leaf order); null light pointers become
+INVALID_INDEX.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import BVH_MAX_DEPTH, INVALID_INDEX
+from ..core.geometry import Triangles
+from ..accel.bvh import BvhArrays
+from . import light as light_mod
+from .material import MaterialBuilder, MaterialTable
+from .light import AREA_LIGHT, POINT_LIGHT, LightTable, make_light_table
+from .transform import Transform
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["tris", "bvh", "materials", "lights",
+                      "prim_material", "prim_light"],
+         meta_fields=["num_lights"])
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    """Device-resident scene: a pytree of dense arrays (scene.cuh:4-8).
+
+    Triangles, prim tables and area-light triangle indices are all in BVH
+    leaf (permuted) order, so a leaf's primitives are contiguous and the
+    "same triangle" identity tests of the wavefront engine are plain int32
+    compares (replacing the reference's pointer identity, render.cuh:321,
+    bvh.cuh:243).
+    """
+
+    tris: Triangles
+    bvh: BvhArrays
+    materials: MaterialTable
+    lights: LightTable
+    prim_material: jax.Array  # [P] int32
+    prim_light: jax.Array     # [P] int32 (INVALID_INDEX if not emissive)
+    num_lights: int           # static
+
+
+class SceneBuilder:
+    """Host-side scene assembly with the reference factory API.
+
+    Mirrors main.cu's flow: register materials, add triangles/meshes, add
+    lights, then :meth:`build` (which runs the sweep-SAH builder and permutes
+    everything into leaf order, like Bvh::Bvh at bvh.cuh:30-219).
+    """
+
+    def __init__(self):
+        self.materials = MaterialBuilder()
+        self._p0: list[np.ndarray] = []
+        self._p1: list[np.ndarray] = []
+        self._p2: list[np.ndarray] = []
+        self._mat: list[np.ndarray] = []
+        self._num_tris = 0
+        # lights
+        self._ltype: list[int] = []
+        self._lpos: list[tuple] = []
+        self._lemit: list[tuple] = []
+        self._ltri: list[int] = []
+
+    # -- materials (delegate to MaterialBuilder, material.cuh:25-44) --------
+    def make_matte(self, albedo) -> int:
+        return self.materials.make_matte(albedo)
+
+    def make_mirror(self, albedo) -> int:
+        return self.materials.make_mirror(albedo)
+
+    def make_glass(self, index_of_refraction: float) -> int:
+        return self.materials.make_glass(index_of_refraction)
+
+    # -- geometry -----------------------------------------------------------
+    def add_triangles(self, p0, p1, p2, material: int) -> np.ndarray:
+        """Add a batch of triangles; returns their global indices."""
+        p0 = np.atleast_2d(np.asarray(p0, np.float32))
+        p1 = np.atleast_2d(np.asarray(p1, np.float32))
+        p2 = np.atleast_2d(np.asarray(p2, np.float32))
+        n = len(p0)
+        self._p0.append(p0)
+        self._p1.append(p1)
+        self._p2.append(p2)
+        self._mat.append(np.full(n, material, np.int32))
+        idx = np.arange(self._num_tris, self._num_tris + n)
+        self._num_tris += n
+        return idx
+
+    def add_mesh(self, vertices, faces, material: int,
+                 transform: Transform | None = None) -> np.ndarray:
+        """Add a triangle mesh (vertex positions + [F,3] indices).
+
+        Mirrors main.cu:67-84: optional transform applied on the host, then
+        faces expanded to triangles.
+        """
+        v = np.asarray(vertices, np.float64)
+        if transform is not None:
+            v = transform.apply(v)
+        f = np.asarray(faces, np.int64)
+        return self.add_triangles(v[f[:, 0]], v[f[:, 1]], v[f[:, 2]], material)
+
+    # -- lights (light.cuh:70-84) -------------------------------------------
+    def add_point_light(self, pos, intensity) -> int:
+        self._ltype.append(POINT_LIGHT)
+        self._lpos.append(tuple(pos))
+        self._lemit.append(tuple(intensity))
+        self._ltri.append(INVALID_INDEX)
+        return len(self._ltype) - 1
+
+    def add_area_light(self, p0, p1, p2, radiance, material: int) -> int:
+        """Add an emissive triangle (main.cu:110-116: geometry + light)."""
+        tri_idx = int(self.add_triangles(p0, p1, p2, material)[0])
+        self._ltype.append(AREA_LIGHT)
+        self._lpos.append((0.0, 0.0, 0.0))
+        self._lemit.append(tuple(radiance))
+        self._ltri.append(tri_idx)
+        return len(self._ltype) - 1
+
+    # -- build ---------------------------------------------------------------
+    def build(self, max_depth: int = BVH_MAX_DEPTH,
+              max_leaf_size: int | None = 4,
+              builder: str = "auto") -> Scene:
+        """Assemble the device scene (BVH build + leaf-order permutation)."""
+        from ..accel import build_bvh_best
+
+        assert self._num_tris > 0, "scene has no geometry"
+        p0 = np.concatenate(self._p0)
+        p1 = np.concatenate(self._p1)
+        p2 = np.concatenate(self._p2)
+        mat_idx = np.concatenate(self._mat)
+
+        # per-triangle bounds + vertex-mean centers (triangle.cuh:11,22-37)
+        bmin = np.minimum(np.minimum(p0, p1), p2)
+        bmax = np.maximum(np.maximum(p0, p1), p2)
+        centers = (p0 + p1 + p2) / 3.0
+
+        res = build_bvh_best(bmin, bmax, centers, max_depth=max_depth,
+                             max_leaf_size=max_leaf_size, which=builder)
+
+        perm = res.perm
+        inv_perm = np.empty_like(perm)
+        inv_perm[perm] = np.arange(len(perm))
+
+        prim_light = np.full(self._num_tris, INVALID_INDEX, np.int32)
+        ltri = list(self._ltri)
+        for li, ti in enumerate(self._ltri):
+            if ti != INVALID_INDEX:
+                prim_light[ti] = li
+                ltri[li] = int(inv_perm[ti])  # light -> permuted triangle idx
+
+        tris = Triangles.from_vertices(p0[perm], p1[perm], p2[perm])
+        return Scene(
+            tris=tris,
+            bvh=res.to_device(),
+            materials=self.materials.build(),
+            lights=make_light_table(self._ltype, self._lpos, self._lemit, ltri),
+            prim_material=jnp.asarray(mat_idx[perm]),
+            prim_light=jnp.asarray(prim_light[perm]),
+            num_lights=len(self._ltype),
+        )
