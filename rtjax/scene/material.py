@@ -141,8 +141,10 @@ def sample_f(mtype, albedo, ior, unit_wo, unit_n, u1, u2, u3):
 
     wi_refr = vec.refract(unit_wo, n_front, eta_ratio, cos_theta)
     pdf_refr = 1.0 - reflectance
-    f_refr = pdf_refr * eta_ratio * eta_ratio * inv_cos
     n_refr = -n_front  # flipped to the transmission side (material.cuh:104)
+    # NOTE: the reference divides by dot(wi, n) with the ALREADY-FLIPPED
+    # normal (material.cuh:104-106), i.e. the *transmitted* cosine.
+    f_refr = pdf_refr * eta_ratio * eta_ratio / vec.dot(wi_refr, n_refr)
 
     wi_glass = jnp.where(do_reflect[..., None], wi_refl, wi_refr)
     pdf_glass = jnp.where(do_reflect, pdf_refl, pdf_refr)

@@ -1,0 +1,33 @@
+"""Test harness configuration.
+
+Forces JAX onto the CPU backend with 8 virtual devices BEFORE jax import, so
+multi-chip sharding (pjit/shard_map over a Mesh) is testable on one host —
+the framework's analog of a fake-backend distributed test rig (SURVEY.md §4).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags +
+                               " --xla_force_host_platform_device_count=8")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+ASSETS = os.path.join(os.path.dirname(__file__), os.pardir, "assets")
+BUNNY_PLY = os.path.abspath(os.path.join(ASSETS, "bun_zipper.ply"))
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(7)
+
+
+def random_triangles(rng, n, lo=-1.0, hi=1.0, size=0.4):
+    """Random triangle soup for property tests."""
+    base = rng.uniform(lo, hi, (n, 3))
+    p1 = base + rng.uniform(-size, size, (n, 3))
+    p2 = base + rng.uniform(-size, size, (n, 3))
+    return base, p1, p2
