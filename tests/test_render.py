@@ -104,10 +104,11 @@ def test_direct_point_light_analytic():
     expect = (np.asarray(alb) / np.pi)[None] * (cos * 10.0 / d2)[:, None]
     expect = np.sqrt(expect)  # gamma
     got = img.reshape(-1, 3)
-    # exclude near-horizon pixels: the pixel-center approximation breaks
-    # where hit distance varies wildly within a pixel's jitter footprint
-    ok = tol & (t > 0) & (t < 12)
-    assert ok.sum() > 150
+    # exclude near-horizon pixels (jitter nonlinearity breaks the
+    # pixel-center approximation) and pixels straddling the finite floor edge
+    ok = tol & (t > 0) & (t < 12) & (np.abs(p[:, 0]) < 4.0) & \
+        (np.abs(p[:, 2]) < 4.0)
+    assert ok.sum() > 100
     np.testing.assert_allclose(got[ok], expect[ok], atol=0.03)
 
 
