@@ -52,11 +52,32 @@ class BuildResult:
     max_depth: int
 
     def to_device(self) -> BvhArrays:
+        """Flattened device arrays, with a leaf root wrapped so that node 0 is
+        ALWAYS internal.
+
+        The reference special-cases a leaf root in both traversals
+        (bvh.cuh:252,307).  A data-dependent branch per ray is poison for the
+        batched TPU kernels (a vmapped ``lax.cond`` with per-lane predicates
+        broadcasts every captured scene array per lane), so instead we pad:
+        root -> [real leaf, dummy leaf with an inverted (never-hit) bbox].
+        """
+        m = self.num_nodes
+        bmin = self.bmin[:m]
+        bmax = self.bmax[:m]
+        left_first = self.left_first[:m]
+        num_prims = self.num_prims[:m]
+        if num_prims[0] > 0:
+            inf = np.float32(np.inf)
+            bmin = np.concatenate([bmin[:1], bmin[:1], [[inf, inf, inf]]])
+            bmax = np.concatenate([bmax[:1], bmax[:1], [[-inf, -inf, -inf]]])
+            # node1 = the original leaf; node2 = never-hit dummy leaf
+            left_first = np.array([1, left_first[0], 0], np.int32)
+            num_prims = np.array([0, num_prims[0], 1], np.int32)
         return BvhArrays(
-            bmin=jnp.asarray(self.bmin[:self.num_nodes]),
-            bmax=jnp.asarray(self.bmax[:self.num_nodes]),
-            left_first=jnp.asarray(self.left_first[:self.num_nodes]),
-            num_prims=jnp.asarray(self.num_prims[:self.num_nodes]),
+            bmin=jnp.asarray(bmin),
+            bmax=jnp.asarray(bmax),
+            left_first=jnp.asarray(left_first),
+            num_prims=jnp.asarray(num_prims),
         )
 
 

@@ -121,90 +121,78 @@ def _next_node(live_l, live_r, entry_l, entry_r, child_l, child_r, sp, stack,
 
 def _traverse_one_closest(bvh, tris, stack_size, origin, direction, tmax,
                           active):
-    """Closest-hit traversal for a single ray (bvh.cuh:251-303)."""
+    """Closest-hit traversal for a single ray (bvh.cuh:251-303).
+
+    Node 0 is guaranteed internal (BuildResult.to_device pads leaf roots),
+    so there is no per-ray root branch — a vmapped ``lax.cond`` on a batched
+    predicate would broadcast the captured scene arrays per lane.
+    """
     slab = _make_slab(bvh, origin, direction)
     no_hit = (tmax, jnp.bool_(False), jnp.float32(jnp.inf), jnp.float32(0),
               jnp.float32(0), _SENTINEL)
 
-    root_is_leaf = bvh.num_prims[0] > 0
+    def body(carry):
+        cur, sp, stack, tmax, hit, t, u, v, prim, done = carry
+        left, right = cur, cur + 1
 
-    def root_leaf_case(_):
-        _, hit, t, u, v, prim = _leaf_closest(
-            bvh, tris, origin, direction, jnp.bool_(True), jnp.int32(0), no_hit)
-        return hit, t, u, v, prim
+        ok_l, entry_l = slab(left)
+        ok_r, entry_r = slab(right)
+        leaf_l = bvh.num_prims[left] > 0
+        leaf_r = bvh.num_prims[right] > 0
 
-    def main_case(_):
-        def body(carry):
-            cur, sp, stack, tmax, hit, t, u, v, prim, done = carry
-            left, right = cur, cur + 1
+        # consume leaf children inline; left first, right sees shrunk tmax
+        state = (tmax, hit, t, u, v, prim)
+        state = _leaf_closest(bvh, tris, origin, direction,
+                              ok_l & leaf_l, left, state)
+        state = _leaf_closest(bvh, tris, origin, direction,
+                              ok_r & leaf_r, right, state)
+        tmax, hit, t, u, v, prim = state
 
-            ok_l, entry_l = slab(left)
-            ok_r, entry_r = slab(right)
-            leaf_l = bvh.num_prims[left] > 0
-            leaf_r = bvh.num_prims[right] > 0
+        cur, sp, stack, done = _next_node(
+            ok_l & ~leaf_l, ok_r & ~leaf_r, entry_l, entry_r,
+            bvh.left_first[left], bvh.left_first[right], sp, stack, done)
+        return cur, sp, stack, tmax, hit, t, u, v, prim, done
 
-            # consume leaf children inline; left first, right sees shrunk tmax
-            state = (tmax, hit, t, u, v, prim)
-            state = _leaf_closest(bvh, tris, origin, direction,
-                                  ok_l & leaf_l, left, state)
-            state = _leaf_closest(bvh, tris, origin, direction,
-                                  ok_r & leaf_r, right, state)
-            tmax, hit, t, u, v, prim = state
-
-            cur, sp, stack, done = _next_node(
-                ok_l & ~leaf_l, ok_r & ~leaf_r, entry_l, entry_r,
-                bvh.left_first[left], bvh.left_first[right], sp, stack, done)
-            return cur, sp, stack, tmax, hit, t, u, v, prim, done
-
-        stack = jnp.full((stack_size,), _SENTINEL)
-        init = (bvh.left_first[0], jnp.int32(0), stack) + no_hit + \
-            (jnp.bool_(~active),)
-        out = jax.lax.while_loop(lambda c: ~c[-1], body, init)
-        return out[4], out[5], out[6], out[7], out[8]
-
-    return jax.lax.cond(root_is_leaf & active, root_leaf_case, main_case,
-                        operand=None)
+    stack = jnp.full((stack_size,), _SENTINEL)
+    init = (bvh.left_first[0], jnp.int32(0), stack) + no_hit + \
+        (jnp.bool_(~active),)
+    out = jax.lax.while_loop(lambda c: ~c[-1], body, init)
+    return out[4], out[5], out[6], out[7], out[8]
 
 
 def _traverse_one_anyhit(bvh, tris, stack_size, origin, direction, tmax,
                          exclude, active):
-    """Any-hit traversal with excluded triangle (bvh.cuh:306-357)."""
+    """Any-hit traversal with excluded triangle (bvh.cuh:306-357).
+
+    Node 0 is guaranteed internal (see _traverse_one_closest).
+    """
     slab = _make_slab(bvh, origin, direction)
-    root_is_leaf = bvh.num_prims[0] > 0
 
-    def root_leaf_case(_):
-        return _leaf_anyhit(bvh, tris, origin, direction, tmax, exclude,
-                            jnp.bool_(True), jnp.int32(0))
+    def body(carry):
+        cur, sp, stack, occluded, done = carry
+        left, right = cur, cur + 1
 
-    def main_case(_):
-        def body(carry):
-            cur, sp, stack, occluded, done = carry
-            left, right = cur, cur + 1
+        ok_l, entry_l = slab(left)
+        ok_r, entry_r = slab(right)
+        leaf_l = bvh.num_prims[left] > 0
+        leaf_r = bvh.num_prims[right] > 0
 
-            ok_l, entry_l = slab(left)
-            ok_r, entry_r = slab(right)
-            leaf_l = bvh.num_prims[left] > 0
-            leaf_r = bvh.num_prims[right] > 0
+        occluded = occluded | _leaf_anyhit(
+            bvh, tris, origin, direction, tmax, exclude, ok_l & leaf_l, left)
+        occluded = occluded | _leaf_anyhit(
+            bvh, tris, origin, direction, tmax, exclude, ok_r & leaf_r, right)
+        done = done | occluded  # first-hit early exit (bvh.cuh:318,328)
 
-            occluded = occluded | _leaf_anyhit(
-                bvh, tris, origin, direction, tmax, exclude, ok_l & leaf_l, left)
-            occluded = occluded | _leaf_anyhit(
-                bvh, tris, origin, direction, tmax, exclude, ok_r & leaf_r, right)
-            done = done | occluded  # first-hit early exit (bvh.cuh:318,328)
+        cur, sp, stack, done = _next_node(
+            ok_l & ~leaf_l, ok_r & ~leaf_r, entry_l, entry_r,
+            bvh.left_first[left], bvh.left_first[right], sp, stack, done)
+        return cur, sp, stack, occluded, done
 
-            cur, sp, stack, done = _next_node(
-                ok_l & ~leaf_l, ok_r & ~leaf_r, entry_l, entry_r,
-                bvh.left_first[left], bvh.left_first[right], sp, stack, done)
-            return cur, sp, stack, occluded, done
-
-        stack = jnp.full((stack_size,), _SENTINEL)
-        init = (bvh.left_first[0], jnp.int32(0), stack, jnp.bool_(False),
-                jnp.bool_(~active))
-        out = jax.lax.while_loop(lambda c: ~c[-1], body, init)
-        return out[3]
-
-    return jax.lax.cond(root_is_leaf & active, root_leaf_case, main_case,
-                        operand=None)
+    stack = jnp.full((stack_size,), _SENTINEL)
+    init = (bvh.left_first[0], jnp.int32(0), stack, jnp.bool_(False),
+            jnp.bool_(~active))
+    out = jax.lax.while_loop(lambda c: ~c[-1], body, init)
+    return out[3]
 
 
 @partial(jax.jit, static_argnames=("stack_size",))

@@ -1,0 +1,3 @@
+"""Multi-chip scaling: sample-space data parallelism over a device mesh."""
+
+from .sharding import make_mesh, render_frame_sharded  # noqa: F401

@@ -226,14 +226,12 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
             rays_traced + traced)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig, key):
-    """Render a full frame; returns ``(framebuffer [H*W, 3], stats)``.
+def render_frame_linear(scene: Scene, camera: Camera, cfg: RenderConfig, key):
+    """Render a frame, returning the LINEAR sample-sum framebuffer.
 
-    The equivalent of ``render()`` at render.cuh:366-457: initializes the
-    pool, iterates the wavefront until every camera ray is consumed and every
-    path has died (render.cuh:436's termination rule), then applies the
-    sqrt(mean) gamma-2 post-process (render.cuh:330-338).
+    The per-pixel values are sums of per-sample radiance (not yet divided by
+    spp, no gamma).  Multi-chip rendering psums these linear buffers across
+    the mesh before normalizing once (rtjax.parallel.sharding).
     """
     n = cfg.num_working_paths
     state = make_initial_state(n)
@@ -250,6 +248,18 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig, key):
 
     step = partial(wavefront_step, scene, camera, cfg, key)
     state, fb, _, it, _, rays = jax.lax.while_loop(cond, step, carry)
-
-    fb = jnp.sqrt(fb / cfg.num_samples)  # gamma 2.0 (render.cuh:330-338)
     return fb, {"iterations": it, "rays_traced": rays}
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig, key):
+    """Render a full frame; returns ``(framebuffer [H*W, 3], stats)``.
+
+    The equivalent of ``render()`` at render.cuh:366-457: initializes the
+    pool, iterates the wavefront until every camera ray is consumed and every
+    path has died (render.cuh:436's termination rule), then applies the
+    sqrt(mean) gamma-2 post-process (render.cuh:330-338).
+    """
+    fb, stats = render_frame_linear(scene, camera, cfg, key)
+    fb = jnp.sqrt(fb / cfg.num_samples)  # gamma 2.0 (render.cuh:330-338)
+    return fb, stats

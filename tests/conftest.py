@@ -13,8 +13,14 @@ if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags +
                                " --xla_force_host_platform_device_count=8")
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# persistent compilation cache: the big while-loop programs take minutes to
+# compile on this 1-core host; cache them across test runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/rtjax-jit-cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 ASSETS = os.path.join(os.path.dirname(__file__), os.pardir, "assets")
 BUNNY_PLY = os.path.abspath(os.path.join(ASSETS, "bun_zipper.ply"))
