@@ -1,0 +1,81 @@
+"""Benchmark driver: renders the Stanford-bunny Cornell demo on real TPU
+hardware and reports throughput in Mrays/s/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured against the BASELINE.json north-star of
+100 Mrays/s/chip (the reference itself publishes no numbers — BASELINE.md).
+
+Workload: the reference demo scene (bunny + Cornell walls + 2-tri area
+light, main.cu:39-166).  Resolution/spp are chosen per BENCH_* env vars so
+the driver can scale; rays counted are every traversal performed (path +
+AH shadow + CH shadow), matching the "primary + bounce rays" metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/rtjax-jit-cache-tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import numpy as np
+    from rtjax import RenderConfig
+    from rtjax.render.wavefront import render_frame
+    from rtjax.scenes import cornell_bunny
+
+    width = int(os.environ.get("BENCH_WIDTH", 256))
+    height = int(os.environ.get("BENCH_HEIGHT", 256))
+    spp = int(os.environ.get("BENCH_SPP", 16))
+    bounces = int(os.environ.get("BENCH_BOUNCES", 10))
+    pool = int(os.environ.get("BENCH_POOL", 1 << 17))
+    traversal = os.environ.get("BENCH_TRAVERSAL", "xla")
+
+    t0 = time.time()
+    scene, camera = cornell_bunny()
+    build_s = time.time() - t0
+    print(f"# scene: {scene.tris.num} tris, {scene.bvh.num_nodes} nodes, "
+          f"build {build_s:.1f}s", file=sys.stderr)
+
+    cfg = RenderConfig(width=width, height=height, num_samples=spp,
+                       max_bounces=bounces, num_working_paths=pool,
+                       traversal=traversal)
+    key = jax.random.key(1)
+
+    # compile
+    t0 = time.time()
+    fb, stats = render_frame(scene, camera, cfg, key)
+    fb.block_until_ready()
+    print(f"# compile+first run {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # timed run
+    t0 = time.time()
+    fb, stats = render_frame(scene, camera, cfg, jax.random.key(2))
+    fb.block_until_ready()
+    dt = time.time() - t0
+    rays = float(np.asarray(stats["rays_traced"]))
+    mrays = rays / dt / 1e6
+    print(f"# {width}x{height}@{spp}spp: {dt:.2f}s, {rays:.3g} rays, "
+          f"{int(np.asarray(stats['iterations']))} iterations",
+          file=sys.stderr)
+
+    out = os.environ.get("BENCH_PPM")
+    if out:
+        from rtjax.render.film import write_ppm
+        write_ppm(out, np.asarray(fb), width, height)
+
+    print(json.dumps({
+        "metric": "bunny_cornell_render_throughput",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(mrays / 100.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

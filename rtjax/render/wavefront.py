@@ -46,6 +46,8 @@ from ..core import rng, vec
 from ..core.geometry import spawn_offset_ray
 from ..core.sampling import power_heuristic
 from ..kernels.traversal import traverse_anyhit, traverse_closest
+from ..kernels.pallas_traversal import (pallas_traverse_anyhit,
+                                        pallas_traverse_closest)
 from ..scene.camera import Camera
 from ..scene.light import is_delta, pdf_li, sample_li
 from ..scene.material import get_f, is_specular, sample_f
@@ -94,8 +96,15 @@ def make_initial_state(n: int) -> PathState:
 
 
 def _scatter_add(fb, pixel, value, mask):
-    """Deterministic framebuffer accumulation (replaces Vec3::atomic_add)."""
-    val = jnp.where(mask[:, None], value, 0.0)
+    """Deterministic framebuffer accumulation (replaces Vec3::atomic_add).
+
+    Non-finite contributions are dropped: degenerate samples (e.g. a cosine
+    sample that cancels the normal, material.cuh:65, pdf -> 0) produce the
+    occasional inf/NaN in any float path tracer; the reference would write
+    them into the framebuffer via atomics, we refuse.
+    """
+    ok = mask & jnp.all(jnp.isfinite(value), axis=-1)
+    val = jnp.where(ok[:, None], value, 0.0)
     return fb.at[pixel].add(val, mode="drop")
 
 
@@ -107,6 +116,26 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     n = state.pixel.shape[0]
     num_lights = scene.num_lights
     cam_end = cfg.total_camera_rays
+
+    # traversal backend: "pallas" packet kernels (TPU fast path; interpreted
+    # on CPU), "xla" gather-based while_loop, or "auto"
+    mode = cfg.traversal
+    if mode == "auto":
+        mode = "pallas" if (jax.default_backend() == "tpu"
+                            and scene.tables is not None) else "xla"
+    if mode == "pallas":
+        assert scene.tables is not None, (
+            "traversal='pallas' needs a scene built with max_leaf_size <= 4")
+        interp = jax.default_backend() != "tpu"
+        t_closest = partial(pallas_traverse_closest, scene.tables,
+                            interpret=interp)
+        t_anyhit = partial(pallas_traverse_anyhit, scene.tables,
+                           interpret=interp)
+    else:
+        t_closest = partial(traverse_closest, scene.bvh, scene.tris,
+                            stack_size=cfg.stack_size)
+        t_anyhit = partial(traverse_anyhit, scene.bvh, scene.tris,
+                           stack_size=cfg.stack_size)
 
     draw = lambda site: rng.uniform(key, it, site, (n,))
 
@@ -145,6 +174,9 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
                                  draw(_S_BSDF1 + 2))
     next_o, next_d, _ = spawn_offset_ray(p, n1, wi1)
     next_beta = beta * f1 * (vec.dot(wi1, n1) / pdf1)[:, None]
+    # degenerate sample (pdf ~ 0) -> zero throughput; RR then kills the path
+    next_beta = jnp.where(jnp.all(jnp.isfinite(next_beta), -1)[:, None],
+                          next_beta, 0.0)
 
     if num_lights > 0:
         # uniform light pick (render.cuh:178-180)
@@ -201,19 +233,14 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     # ---- traversal (render.cuh:278-328) ------------------------------------
     trace_mask = mat_mask | got_ray
     inf = jnp.full(n, jnp.inf, jnp.float32)
-    hit, _, hu, hv, hprim = traverse_closest(
-        scene.bvh, scene.tris, ray_o, ray_d, inf, trace_mask,
-        stack_size=cfg.stack_size)
+    hit, _, hu, hv, hprim = t_closest(ray_o, ray_d, inf, trace_mask)
 
     traced = jnp.sum(trace_mask, dtype=jnp.float32)
     if num_lights > 0:
-        occluded = traverse_anyhit(scene.bvh, scene.tris, ah_o, ah_d, ah_tmax,
-                                   ltri, ah_mask, stack_size=cfg.stack_size)
+        occluded = t_anyhit(ah_o, ah_d, ah_tmax, ltri, ah_mask)
         fb = _scatter_add(fb, state.pixel, ah_L, ah_mask & ~occluded)
 
-        hit2, _, _, _, hprim2 = traverse_closest(
-            scene.bvh, scene.tris, chs_o, chs_d, inf, chs_mask,
-            stack_size=cfg.stack_size)
+        hit2, _, _, _, hprim2 = t_closest(chs_o, chs_d, inf, chs_mask)
         fb = _scatter_add(fb, state.pixel, chs_L,
                           chs_mask & hit2 & (hprim2 == chs_target))
         traced = traced + jnp.sum(ah_mask, dtype=jnp.float32) + \

@@ -28,7 +28,7 @@ from .transform import Transform
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["tris", "bvh", "materials", "lights",
-                      "prim_material", "prim_light"],
+                      "prim_material", "prim_light", "tables"],
          meta_fields=["num_lights"])
 @dataclasses.dataclass(frozen=True)
 class Scene:
@@ -47,6 +47,8 @@ class Scene:
     lights: LightTable
     prim_material: jax.Array  # [P] int32
     prim_light: jax.Array     # [P] int32 (INVALID_INDEX if not emissive)
+    tables: object            # SceneTables for the Pallas packet kernels,
+                              # or None when max_leaf_size > 4
     num_lights: int           # static
 
 
@@ -159,9 +161,20 @@ class SceneBuilder:
                 ltri[li] = int(inv_perm[ti])  # light -> permuted triangle idx
 
         tris = Triangles.from_vertices(p0[perm], p1[perm], p2[perm])
+
+        tables = None
+        if max_leaf_size is not None and max_leaf_size <= 4:
+            from ..kernels.pallas_traversal import build_scene_tables
+            pp0, pp1, pp2 = p0[perm], p1[perm], p2[perm]
+            te1 = pp0 - pp1
+            te2 = pp2 - pp0
+            tables = build_scene_tables(res, pp0, te1, te2,
+                                        np.cross(te1, te2))
+
         return Scene(
             tris=tris,
             bvh=res.to_device(),
+            tables=tables,
             materials=self.materials.build(),
             lights=make_light_table(self._ltype, self._lpos, self._lemit, ltri),
             prim_material=jnp.asarray(mat_idx[perm]),
