@@ -34,7 +34,7 @@ def main() -> None:
     spp = int(os.environ.get("BENCH_SPP", 16))
     bounces = int(os.environ.get("BENCH_BOUNCES", 10))
     pool = int(os.environ.get("BENCH_POOL", 1 << 17))
-    traversal = os.environ.get("BENCH_TRAVERSAL", "xla")
+    traversal = os.environ.get("BENCH_TRAVERSAL", "pallas")
 
     t0 = time.time()
     scene, camera = cornell_bunny()

@@ -15,7 +15,8 @@ from .builder_np import build_bvh as build_bvh_np
 
 
 def build_bvh_best(bmin, bmax, centers=None, max_depth=30,
-                   max_leaf_size=None, which: str = "auto") -> BuildResult:
+                   max_leaf_size=None, min_leaf_size=1,
+                   which: str = "auto") -> BuildResult:
     """Dispatch to the C++ builder when available, else NumPy.
 
     ``which``: "auto" | "cpp" | "numpy".
@@ -24,13 +25,15 @@ def build_bvh_best(bmin, bmax, centers=None, max_depth=30,
         try:
             from .builder_cpp import build_bvh as build_bvh_cpp
             return build_bvh_cpp(bmin, bmax, centers, max_depth=max_depth,
-                                 max_leaf_size=max_leaf_size)
+                                 max_leaf_size=max_leaf_size,
+                                 min_leaf_size=min_leaf_size)
         except Exception:
             if which == "cpp":
                 raise
     return build_bvh_np(np.asarray(bmin), np.asarray(bmax),
                         None if centers is None else np.asarray(centers),
-                        max_depth=max_depth, max_leaf_size=max_leaf_size)
+                        max_depth=max_depth, max_leaf_size=max_leaf_size,
+                        min_leaf_size=min_leaf_size)
 
 
 __all__ = ["BuildResult", "BvhArrays", "validate", "build_bvh_np",

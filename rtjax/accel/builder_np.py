@@ -39,7 +39,8 @@ def _half_area(lo, hi):
 def build_bvh(tri_bmin: np.ndarray, tri_bmax: np.ndarray,
               centers: np.ndarray | None = None,
               max_depth: int = BVH_MAX_DEPTH,
-              max_leaf_size: int | None = None) -> BuildResult:
+              max_leaf_size: int | None = None,
+              min_leaf_size: int = 1) -> BuildResult:
     """Build a binary sweep-SAH BVH over per-triangle AABBs.
 
     Args:
@@ -49,6 +50,11 @@ def build_bvh(tri_bmin: np.ndarray, tri_bmax: np.ndarray,
         Defaults to the bbox center.
       max_depth: depth cap (constant.hpp:7).
       max_leaf_size: optional forced-split bound (see module docstring).
+      min_leaf_size: stop splitting once a range has <= this many prims.
+        The reference always splits to ~1-2 prims/leaf (bvh.cuh:112); the
+        TPU packet kernel prefers filled 8-wide leaf rows — one (cheap,
+        vector) leaf visit replaces several (scalar-latency-bound) node
+        steps.  1 reproduces the reference exactly.
 
     Returns a :class:`BuildResult` whose ``perm`` maps leaf-order slot ->
     original triangle index.
@@ -81,7 +87,7 @@ def build_bvh(tri_bmin: np.ndarray, tri_bmax: np.ndarray,
 
     while True:
         count = end - begin
-        make_leaf = count <= 1 or depth >= max_depth
+        make_leaf = count <= min_leaf_size or depth >= max_depth
         best_axis = -1
         best_split = -1
 

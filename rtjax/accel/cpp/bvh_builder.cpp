@@ -60,6 +60,7 @@ extern "C" int64_t rtjax_build_bvh(
     int64_t n,
     int32_t max_depth,
     int32_t max_leaf_size,   // <= 0: reference behavior (no forced split)
+    int32_t min_leaf_size,   // stop splitting at <= this many prims (ref: 1)
     float *out_bmin,         // [2n, 3]
     float *out_bmax,         // [2n, 3]
     int32_t *out_left_first, // [2n]
@@ -78,12 +79,15 @@ extern "C" int64_t rtjax_build_bvh(
         refs[a].resize(n);
         for (int64_t i = 0; i < n; i++) refs[a][i] = i;
     }
-    std::sort(refs[0].begin(), refs[0].end(),
-              [&](int64_t i, int64_t j) { return ctr[i].x < ctr[j].x; });
-    std::sort(refs[1].begin(), refs[1].end(),
-              [&](int64_t i, int64_t j) { return ctr[i].y < ctr[j].y; });
-    std::sort(refs[2].begin(), refs[2].end(),
-              [&](int64_t i, int64_t j) { return ctr[i].z < ctr[j].z; });
+    // stable sorts: the reference uses std::sort (unstable on centroid
+    // ties, bvh.cuh:75); stable ordering makes builds reproducible and
+    // bit-identical with the NumPy fallback (kind="stable")
+    std::stable_sort(refs[0].begin(), refs[0].end(),
+                     [&](int64_t i, int64_t j) { return ctr[i].x < ctr[j].x; });
+    std::stable_sort(refs[1].begin(), refs[1].end(),
+                     [&](int64_t i, int64_t j) { return ctr[i].y < ctr[j].y; });
+    std::stable_sort(refs[2].begin(), refs[2].end(),
+                     [&](int64_t i, int64_t j) { return ctr[i].z < ctr[j].z; });
 
     std::vector<float> costs(n);
     std::vector<uint8_t> marks(n);
@@ -109,7 +113,7 @@ extern "C" int64_t rtjax_build_bvh(
 
     while (true) {
         const int64_t count = end - begin;
-        bool make_leaf = (count <= 1) || (depth >= max_depth);
+        bool make_leaf = (count <= min_leaf_size) || (depth >= max_depth);
         int best_axis = -1;
         int64_t best_split = -1;
 

@@ -23,8 +23,11 @@ class RenderConfig:
     rr_threshold: float = constants.RR_THRESHOLD
     seed: int = constants.RAND_SEED
     stack_size: int = constants.BVH_MAX_DEPTH
-    # traversal kernel: "xla" (gather-based vmapped while_loop) or "pallas"
-    traversal: str = "xla"
+    # traversal kernel: "pallas" (packet kernels, TPU fast path), "xla"
+    # (gather-based vmapped while_loop), or "auto" (pallas on TPU)
+    traversal: str = "auto"
+    # sort rays by (octant, origin Morton) before packet traversal
+    sort_rays: bool = True
     # upper bound on wavefront iterations (safety net for the while_loop);
     # None derives it from the workload.
     max_iterations: int | None = None

@@ -15,16 +15,18 @@ the sublane axis, lane offsets must be static):
 - ``pair_bounds [(M-1)//2, 16]`` f32 VMEM — one row per *child pair*
   (children are allocated adjacently, right = left + 1, bvh.cuh:153-154):
   left bmin/bmax, right bmin/bmax, 4 pad lanes.
-- ``node_meta [M]`` int32 SMEM — packed ``(value << 3) | count``:
-  count = 0 for internal (value = left child index), count in [1, 4] for a
-  leaf (value = row in the leaf-triangle table).
-- ``leaf_tris [L, 64]`` f32 VMEM — 4 triangles per leaf row
+- ``node_meta [M]`` int32 SMEM — packed ``(value << 4) | count``:
+  count = 0 for internal (value = left child index), count in [1, MAX_LEAF]
+  for a leaf (value = row in the leaf-triangle table).
+- ``leaf_tris [L, 128]`` f32 VMEM — MAX_LEAF (8) triangles per leaf row
   (p0, e1, e2, n = 12 floats each, reference edge-precomputed storage,
-  triangle.cuh:6-7) + 4 global prim ids (exact f32 values) in lanes 48-51.
+  triangle.cuh:6-7) + 8 global prim ids (exact f32 values) at PID_BASE.
   Short leaves are padded with degenerate triangles (n = 0 never passes the
-  Moeller-Trumbore accept rule) and prim id -1.
+  Moeller-Trumbore accept rule) and prim id -1.  Wide leaves trade extra
+  (cheap) vector MT tests for fewer (expensive, scalar-latency-bound)
+  traversal steps.
 
-Requires ``max_leaf_size <= 4`` at BVH build time.
+Requires ``max_leaf_size <= MAX_LEAF`` at BVH build time.
 
 Semantics preserved from the reference: MT accept rule + tmax shrinking
 (triangle.cuh:39-58), any-hit exclusion by triangle index with early exit
@@ -51,7 +53,8 @@ from ..accel.bvh import BuildResult
 SUBLANES = 8
 TILE = SUBLANES * 128
 STACK_SIZE = 64
-MAX_LEAF = 4
+MAX_LEAF = 8          # 8 tris/leaf fit one 128-lane row: 96 floats + 8 ids
+PID_BASE = 12 * MAX_LEAF
 BIG = 3.4e38  # plain float: jnp constants would be captured as kernel consts
 
 
@@ -87,7 +90,7 @@ def build_scene_tables(res: BuildResult, p0, e1, e2, n_vec,
         m = 3
 
     assert num_prims.max(initial=1) <= MAX_LEAF, (
-        "pallas traversal requires max_leaf_size <= 4 at build time")
+        f"pallas traversal requires max_leaf_size <= {MAX_LEAF} at build time")
 
     # pair rows for children (left = 2k+1, right = 2k+2)
     n_pairs = (m - 1) // 2
@@ -101,8 +104,8 @@ def build_scene_tables(res: BuildResult, p0, e1, e2, n_vec,
     # leaf-packed triangles
     leaves = np.nonzero(num_prims > 0)[0]
     n_leaves = len(leaves)
-    tri_rows = np.zeros((max(n_leaves, 1), 64), np.float32)
-    pid_rows = np.full((max(n_leaves, 1), 4), -1, np.int32)
+    tri_rows = np.zeros((max(n_leaves, 1), 128), np.float32)
+    pid_rows = np.full((max(n_leaves, 1), MAX_LEAF), -1, np.int32)
     p0 = np.asarray(p0, np.float32)
     e1 = np.asarray(e1, np.float32)
     e2 = np.asarray(e2, np.float32)
@@ -127,24 +130,24 @@ def build_scene_tables(res: BuildResult, p0, e1, e2, n_vec,
         pid_rows[:n_leaves, j] = np.where(has, prim_ids[src], -1)
     # prim ids stored as exact f32 VALUES (< 2^24): Mosaic cannot
     # bitcast scalars, and triangle counts stay far below the mantissa limit
-    tri_rows[:, 48:52] = pid_rows.astype(np.float32)
+    tri_rows[:, PID_BASE:PID_BASE + MAX_LEAF] = pid_rows.astype(np.float32)
 
-    # packed meta: internal -> left_first<<3; leaf -> leaf_row<<3 | count
-    meta = (left_first.astype(np.int64) << 3).astype(np.int64)
+    # packed meta: internal -> left_first<<4; leaf -> leaf_row<<4 | count
+    meta = (left_first.astype(np.int64) << 4).astype(np.int64)
     leaf_row = np.zeros(m, np.int64)
     leaf_row[leaves] = np.arange(n_leaves)
     is_leaf = num_prims > 0
-    meta = np.where(is_leaf, (leaf_row << 3) | num_prims, meta).astype(np.int32)
+    meta = np.where(is_leaf, (leaf_row << 4) | num_prims, meta).astype(np.int32)
 
     return SceneTables(pair_bounds=jnp.asarray(pair),
                        node_meta=jnp.asarray(meta),
                        leaf_tris=jnp.asarray(tri_rows))
 
 
-def _ray_setup(o_ref, d_ref, t_ref):
+def _ray_setup(o_ref, d_ref, t_ref, ti):
     eps = float(np.finfo(np.float32).eps)
-    o = (o_ref[0, 0], o_ref[0, 1], o_ref[0, 2])
-    d_raw = (d_ref[0, 0], d_ref[0, 1], d_ref[0, 2])
+    o = (o_ref[ti, 0], o_ref[ti, 1], o_ref[ti, 2])
+    d_raw = (d_ref[ti, 0], d_ref[ti, 1], d_ref[ti, 2])
     safe = tuple(jnp.where(jnp.abs(dk) < eps, jnp.copysign(eps, dk), dk)
                  for dk in d_raw)
     inv = tuple(1.0 / dk for dk in safe)
@@ -156,7 +159,7 @@ def _ray_setup(o_ref, d_ref, t_ref):
     minv = tuple(1.0 / jnp.where(jnp.abs(mk) < eps,
                                  jnp.where(mk >= 0, eps, -eps), mk)
                  for mk in md)
-    return o, d_raw, inv, sc, t_ref[0], mo, minv
+    return o, d_raw, inv, sc, t_ref[ti], mo, minv
 
 
 def _mean_entry(pb_ref, pair, base, mo, minv):
@@ -206,7 +209,7 @@ def _mt(lt_ref, row, slot, o, d, tmax):
     e1x = lt_ref[row, b + 3]; e1y = lt_ref[row, b + 4]; e1z = lt_ref[row, b + 5]
     e2x = lt_ref[row, b + 6]; e2y = lt_ref[row, b + 7]; e2z = lt_ref[row, b + 8]
     nx = lt_ref[row, b + 9]; ny = lt_ref[row, b + 10]; nz = lt_ref[row, b + 11]
-    pid = lt_ref[row, 48 + slot]  # prim id as exact f32 value
+    pid = lt_ref[row, PID_BASE + slot]  # prim id as exact f32 value
 
     ox, oy, oz = o
     dx, dy, dz = d
@@ -256,14 +259,20 @@ def _descend(nm_ref, stack_ref, l_far, live_l, live_r, child_l, child_r,
 
 def _closest_kernel(o_ref, d_ref, t_ref, act_ref, nm_ref, pb_ref, lt_ref,
                     hit_ref, tout_ref, u_ref, v_ref, prim_ref, stack_ref):
-    o, d, inv, sc, tmax0, mo, minv = _ray_setup(o_ref, d_ref, t_ref)
-    valid = act_ref[0] != 0
+  """Single grid step; tiles iterated INSIDE the kernel so the VMEM-resident
+  scene tables are fetched once, not per tile (Mosaic re-DMAs full-array
+  operands on every grid step — 30 MB x n_tiles of wasted HBM traffic)."""
+  n_tiles = hit_ref.shape[0]
+
+  def tile_body(ti, _):
+    o, d, inv, sc, tmax0, mo, minv = _ray_setup(o_ref, d_ref, t_ref, ti)
+    valid = act_ref[ti] != 0
     # dead lanes never match anything: tmax = -BIG rejects every test
     tmax = jnp.where(valid, tmax0, -BIG)
 
     def leaf_loop(meta, carry):
-        row = meta >> 3
-        count = meta & 7
+        row = meta >> 4
+        count = meta & 15
         for slot in range(MAX_LEAF):  # unrolled; padded slots never hit
             tmax, t, u, v, prim = carry
             h, tt, uu, vv, pidf = _mt(lt_ref, row, slot, o, d, tmax)
@@ -283,8 +292,8 @@ def _closest_kernel(o_ref, d_ref, t_ref, act_ref, nm_ref, pb_ref, lt_ref,
         any_l, any_r = _any_pair(hit_l, hit_r)
         meta_l = nm_ref[cur]
         meta_r = nm_ref[cur + 1]
-        leaf_l = (meta_l & 7) > 0
-        leaf_r = (meta_r & 7) > 0
+        leaf_l = (meta_l & 15) > 0
+        leaf_r = (meta_r & 15) > 0
 
         carry5 = (tmax, t, u, v, prim)
         carry5 = jax.lax.cond(any_l & leaf_l,
@@ -299,36 +308,43 @@ def _closest_kernel(o_ref, d_ref, t_ref, act_ref, nm_ref, pb_ref, lt_ref,
             _mean_entry(pb_ref, pair, 6, mo, minv)
         cur, sp, done = _descend(
             nm_ref, stack_ref, l_far,
-            any_l & ~leaf_l, any_r & ~leaf_r, meta_l >> 3, meta_r >> 3,
+            any_l & ~leaf_l, any_r & ~leaf_r, meta_l >> 4, meta_r >> 4,
             sp, done)
         return cur, sp, done, tmax, t, u, v, prim
 
-    init = (nm_ref[0] >> 3, jnp.int32(0), ~jnp.any(valid),
+    init = (nm_ref[0] >> 4, jnp.int32(0), ~jnp.any(valid),
             tmax, jnp.full(tmax.shape, BIG, jnp.float32),
             jnp.zeros_like(tmax), jnp.zeros_like(tmax),
             jnp.full(tmax.shape, -1, jnp.int32))
     out = jax.lax.while_loop(lambda c: ~c[2], step, init)
     _, _, _, _, t, u, v, prim = out
     hit = (prim >= 0) & valid
-    hit_ref[0] = hit.astype(jnp.int32)
-    tout_ref[0] = t
-    u_ref[0] = u
-    v_ref[0] = v
-    prim_ref[0] = jnp.where(hit, prim, -1)
+    hit_ref[ti] = hit.astype(jnp.int32)
+    tout_ref[ti] = t
+    u_ref[ti] = u
+    v_ref[ti] = v
+    prim_ref[ti] = jnp.where(hit, prim, -1)
+    return 0
+
+  jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
 def _anyhit_kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, nm_ref, pb_ref,
                    lt_ref, occ_ref, stack_ref):
-    o, d, inv, sc, tmax0, mo, minv = _ray_setup(o_ref, d_ref, t_ref)
-    valid = act_ref[0] != 0
-    exclude = ex_ref[0]
+  """Single grid step, in-kernel tile loop (see _closest_kernel)."""
+  n_tiles = occ_ref.shape[0]
+
+  def tile_body(ti, _):
+    o, d, inv, sc, tmax0, mo, minv = _ray_setup(o_ref, d_ref, t_ref, ti)
+    valid = act_ref[ti] != 0
+    exclude = ex_ref[ti]
     tmax = jnp.where(valid, tmax0, -BIG)
 
     def leaf_loop(meta, occluded):
         # occluded is an int32 0/1 vector: Mosaic cannot carry i1 vectors
         # through scf.if regions
-        row = meta >> 3
-        count = meta & 7
+        row = meta >> 4
+        count = meta & 15
         for slot in range(MAX_LEAF):
             h, _, _, _, pidf = _mt(lt_ref, row, slot, o, d, tmax)
             pid = _pid_to_int(pidf)
@@ -346,8 +362,8 @@ def _anyhit_kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, nm_ref, pb_ref,
         any_l, any_r = _any_pair(hit_l, hit_r)
         meta_l = nm_ref[cur]
         meta_r = nm_ref[cur + 1]
-        leaf_l = (meta_l & 7) > 0
-        leaf_r = (meta_r & 7) > 0
+        leaf_l = (meta_l & 15) > 0
+        leaf_r = (meta_r & 15) > 0
 
         occluded = jax.lax.cond(any_l & leaf_l,
                                 lambda oc: leaf_loop(meta_l, oc),
@@ -363,14 +379,17 @@ def _anyhit_kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, nm_ref, pb_ref,
             _mean_entry(pb_ref, pair, 6, mo, minv)
         cur, sp, done = _descend(
             nm_ref, stack_ref, l_far,
-            any_l & ~leaf_l, any_r & ~leaf_r, meta_l >> 3, meta_r >> 3,
+            any_l & ~leaf_l, any_r & ~leaf_r, meta_l >> 4, meta_r >> 4,
             sp, done)
         return cur, sp, done, occluded
 
-    init = (nm_ref[0] >> 3, jnp.int32(0), ~jnp.any(valid),
+    init = (nm_ref[0] >> 4, jnp.int32(0), ~jnp.any(valid),
             jnp.zeros(tmax.shape, jnp.int32))
     out = jax.lax.while_loop(lambda c: ~c[2], step, init)
-    occ_ref[0] = jnp.where((out[3] != 0) & valid, 1, 0)
+    occ_ref[ti] = jnp.where((out[3] != 0) & valid, 1, 0)
+    return 0
+
+  jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
 def _to_tiles(x, n_tiles):
@@ -389,18 +408,15 @@ def _pad(x, n, fill):
     return jnp.pad(x, pad, constant_values=fill)
 
 
-_TILE3 = pl.BlockSpec((1, 3, SUBLANES, 128), lambda i: (i, 0, 0, 0),
-                      memory_space=pltpu.VMEM)
-_TILE1 = pl.BlockSpec((1, SUBLANES, 128), lambda i: (i, 0, 0),
-                      memory_space=pltpu.VMEM)
+_VMEM = pl.BlockSpec(memory_space=pltpu.VMEM)
 _META = pl.BlockSpec(memory_space=pltpu.SMEM)
-_SCENE = pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
-def _vmem_limit(tables: SceneTables) -> int:
+def _vmem_limit(tables: SceneTables, n_rays: int) -> int:
     table_bytes = (tables.pair_bounds.shape[0] + tables.leaf_tris.shape[0]
                    ) * 128 * 4
-    return min(int(table_bytes * 1.25) + (4 << 20), 127 << 20)
+    ray_bytes = n_rays * 4 * 14  # o,d (6) + tmax/act/ex + 5 outputs
+    return min(int((table_bytes + ray_bytes) * 1.25) + (4 << 20), 127 << 20)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -419,9 +435,8 @@ def pallas_traverse_closest(tables: SceneTables, origin, direction, tmax,
     shp = (n_tiles, SUBLANES, 128)
     hit, t, u, v, prim = pl.pallas_call(
         _closest_kernel,
-        grid=(n_tiles,),
-        in_specs=[_TILE3, _TILE3, _TILE1, _TILE1, _META, _SCENE, _SCENE],
-        out_specs=[_TILE1] * 5,
+        in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _META, _VMEM, _VMEM],
+        out_specs=[_VMEM] * 5,
         out_shape=[jax.ShapeDtypeStruct(shp, jnp.int32),
                    jax.ShapeDtypeStruct(shp, jnp.float32),
                    jax.ShapeDtypeStruct(shp, jnp.float32),
@@ -429,7 +444,7 @@ def pallas_traverse_closest(tables: SceneTables, origin, direction, tmax,
                    jax.ShapeDtypeStruct(shp, jnp.int32)],
         scratch_shapes=[pltpu.SMEM((STACK_SIZE,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(tables)),
+            vmem_limit_bytes=_vmem_limit(tables, n_pad)),
         interpret=interpret,
     )(o, d, tm, act, tables.node_meta, tables.pair_bounds, tables.leaf_tris)
 
@@ -453,14 +468,12 @@ def pallas_traverse_anyhit(tables: SceneTables, origin, direction, tmax,
 
     occ = pl.pallas_call(
         _anyhit_kernel,
-        grid=(n_tiles,),
-        in_specs=[_TILE3, _TILE3, _TILE1, _TILE1, _TILE1, _META, _SCENE,
-                  _SCENE],
-        out_specs=_TILE1,
+        in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _VMEM, _META, _VMEM, _VMEM],
+        out_specs=_VMEM,
         out_shape=jax.ShapeDtypeStruct((n_tiles, SUBLANES, 128), jnp.int32),
         scratch_shapes=[pltpu.SMEM((STACK_SIZE,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(tables)),
+            vmem_limit_bytes=_vmem_limit(tables, n_pad)),
         interpret=interpret,
     )(o, d, tm, act, ex, tables.node_meta, tables.pair_bounds,
       tables.leaf_tris)

@@ -52,6 +52,7 @@ from ..scene.camera import Camera
 from ..scene.light import is_delta, pdf_li, sample_li
 from ..scene.material import get_f, is_specular, sample_f
 from ..scene.scene import Scene
+from .sorting import ray_sort_keys, sort_permutation
 
 # RNG draw-site ids (one threefry sweep per site per iteration)
 _S_RR = 0
@@ -77,6 +78,11 @@ class PathState:
     prim: jax.Array     # [N] int32 (global triangle index, -1 = none)
     bounces: jax.Array  # [N] int32
     beta: jax.Array     # [N, 3] float32 throughput
+    acc: jax.Array      # [N, 3] float32 radiance accumulated for the slot's
+                        # CURRENT pixel; flushed to the framebuffer when the
+                        # slot regenerates (one scatter-add per iteration
+                        # instead of three, replacing per-contribution
+                        # atomics, vec3.cuh:149-153)
 
 
 def make_initial_state(n: int) -> PathState:
@@ -92,11 +98,12 @@ def make_initial_state(n: int) -> PathState:
         prim=jnp.full(n, INVALID_INDEX, jnp.int32),
         bounces=jnp.full(n, DEAD_BOUNCES, jnp.int32),
         beta=jnp.ones((n, 3), jnp.float32),
+        acc=jnp.zeros((n, 3), jnp.float32),
     )
 
 
-def _scatter_add(fb, pixel, value, mask):
-    """Deterministic framebuffer accumulation (replaces Vec3::atomic_add).
+def _accum(acc, value, mask):
+    """Per-slot radiance accumulation.
 
     Non-finite contributions are dropped: degenerate samples (e.g. a cosine
     sample that cancels the normal, material.cuh:65, pdf -> 0) produce the
@@ -104,8 +111,7 @@ def _scatter_add(fb, pixel, value, mask):
     them into the framebuffer via atomics, we refuse.
     """
     ok = mask & jnp.all(jnp.isfinite(value), axis=-1)
-    val = jnp.where(ok[:, None], value, 0.0)
-    return fb.at[pixel].add(val, mode="drop")
+    return acc + jnp.where(ok[:, None], value, 0.0)
 
 
 def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
@@ -144,7 +150,7 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     light_idx = scene.prim_light[prim_safe]
     emit0 = state.hit & (light_idx >= 0) & (state.bounces == 0)
     emit_val = scene.lights.emit[jnp.maximum(light_idx, 0)]
-    fb = _scatter_add(fb, state.pixel, emit_val, emit0)
+    acc = _accum(state.acc, emit_val, emit0)
 
     alive = state.bounces < cfg.max_bounces
     beta = state.beta
@@ -221,6 +227,13 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
                                    (cj + draw(_S_GEN + 1)) / cfg.height)
     num_gen = jnp.sum(gen_mask).astype(jnp.int32)
 
+    # flush the radiance accumulators of slots leaving their pixel: ONE
+    # deterministic scatter-add per iteration (replaces the reference's
+    # three atomic-add channels, render.cuh:102,292,322)
+    flush = jnp.where(gen_mask[:, None], acc, 0.0)
+    fb = fb.at[state.pixel].add(flush, mode="drop")
+    acc = jnp.where(gen_mask[:, None], 0.0, acc)
+
     # merge mat-continued and regenerated rays into the path-ray pool
     m = mat_mask[:, None]
     g = got_ray[:, None]
@@ -231,23 +244,46 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     bounces = jnp.where(got_ray, 0, jnp.where(gen_mask, DEAD_BOUNCES, bounces))
 
     # ---- traversal (render.cuh:278-328) ------------------------------------
+    # rays sorted by (direction octant, origin Morton) so packet tiles stay
+    # coherent and dead lanes cluster into tiles that exit immediately — the
+    # packet-era equivalent of CUB compaction (render.cuh:348-364).  The
+    # shadow rays reuse the path-ray permutation: they share its origins
+    # (the current hit points), so one argsort covers all three traversals.
     trace_mask = mat_mask | got_ray
     inf = jnp.full(n, jnp.inf, jnp.float32)
-    hit, _, hu, hv, hprim = t_closest(ray_o, ray_d, inf, trace_mask)
+    do_sort = cfg.sort_rays and mode == "pallas"
+    if do_sort:
+        root_lo, root_hi = scene.bvh.bmin[0], scene.bvh.bmax[0]
+        perm, invp = sort_permutation(
+            ray_sort_keys(ray_o, ray_d, root_lo, root_hi, trace_mask))
+        hit, _, hu, hv, hprim = t_closest(ray_o[perm], ray_d[perm], inf,
+                                          trace_mask[perm])
+        hit, hu, hv, hprim = hit[invp], hu[invp], hv[invp], hprim[invp]
+    else:
+        hit, _, hu, hv, hprim = t_closest(ray_o, ray_d, inf, trace_mask)
 
     traced = jnp.sum(trace_mask, dtype=jnp.float32)
     if num_lights > 0:
-        occluded = t_anyhit(ah_o, ah_d, ah_tmax, ltri, ah_mask)
-        fb = _scatter_add(fb, state.pixel, ah_L, ah_mask & ~occluded)
+        if do_sort:
+            occluded = t_anyhit(ah_o[perm], ah_d[perm], ah_tmax[perm],
+                                ltri[perm], ah_mask[perm])[invp]
+        else:
+            occluded = t_anyhit(ah_o, ah_d, ah_tmax, ltri, ah_mask)
+        acc = _accum(acc, ah_L, ah_mask & ~occluded)
 
-        hit2, _, _, _, hprim2 = t_closest(chs_o, chs_d, inf, chs_mask)
-        fb = _scatter_add(fb, state.pixel, chs_L,
-                          chs_mask & hit2 & (hprim2 == chs_target))
+        if do_sort:
+            hit2, _, _, _, hprim2 = t_closest(chs_o[perm], chs_d[perm],
+                                              inf, chs_mask[perm])
+            hit2, hprim2 = hit2[invp], hprim2[invp]
+        else:
+            hit2, _, _, _, hprim2 = t_closest(chs_o, chs_d, inf, chs_mask)
+        acc = _accum(acc, chs_L, chs_mask & hit2 & (hprim2 == chs_target))
         traced = traced + jnp.sum(ah_mask, dtype=jnp.float32) + \
             jnp.sum(chs_mask, dtype=jnp.float32)
 
     new_state = PathState(pixel=pixel, ray_o=ray_o, ray_d=ray_d, hit=hit,
-                          u=hu, v=hv, prim=hprim, bounces=bounces, beta=beta)
+                          u=hu, v=hv, prim=hprim, bounces=bounces, beta=beta,
+                          acc=acc)
     work_left = jnp.any(trace_mask)
     return (new_state, fb, cam_start + num_gen, it + 1, work_left,
             rays_traced + traced)

@@ -130,10 +130,18 @@ class SceneBuilder:
 
     # -- build ---------------------------------------------------------------
     def build(self, max_depth: int = BVH_MAX_DEPTH,
-              max_leaf_size: int | None = 4,
+              max_leaf_size: int | None = 8,
+              min_leaf_size: int | None = None,
               builder: str = "auto") -> Scene:
-        """Assemble the device scene (BVH build + leaf-order permutation)."""
+        """Assemble the device scene (BVH build + leaf-order permutation).
+
+        ``min_leaf_size`` defaults to ``max_leaf_size`` (filled leaf rows for
+        the packet kernel); pass 1 for reference-exact splitting.
+        """
         from ..accel import build_bvh_best
+
+        if min_leaf_size is None:
+            min_leaf_size = max_leaf_size if max_leaf_size else 1
 
         assert self._num_tris > 0, "scene has no geometry"
         p0 = np.concatenate(self._p0)
@@ -147,7 +155,8 @@ class SceneBuilder:
         centers = (p0 + p1 + p2) / 3.0
 
         res = build_bvh_best(bmin, bmax, centers, max_depth=max_depth,
-                             max_leaf_size=max_leaf_size, which=builder)
+                             max_leaf_size=max_leaf_size,
+                             min_leaf_size=min_leaf_size, which=builder)
 
         perm = res.perm
         inv_perm = np.empty_like(perm)
@@ -163,7 +172,7 @@ class SceneBuilder:
         tris = Triangles.from_vertices(p0[perm], p1[perm], p2[perm])
 
         tables = None
-        if max_leaf_size is not None and max_leaf_size <= 4:
+        if max_leaf_size is not None and max_leaf_size <= 8:
             from ..kernels.pallas_traversal import build_scene_tables
             pp0, pp1, pp2 = p0[perm], p1[perm], p2[perm]
             te1 = pp0 - pp1

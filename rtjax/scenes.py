@@ -44,7 +44,7 @@ _COLORS = {
 }
 
 
-def cornell_bunny(bunny_path: str | None = None, max_leaf_size: int | None = 4,
+def cornell_bunny(bunny_path: str | None = None, max_leaf_size: int | None = 8,
                   bunny_material: str = "matte",
                   builder: str = "auto") -> tuple[Scene, Camera]:
     """The reference demo scene + camera.
@@ -93,7 +93,7 @@ def cornell_planes() -> tuple[Scene, Camera]:
                      (0.6, 0.999, -0.6), (15.0, 15.0, 15.0), mats["white"])
     b.add_area_light((0.4, 0.999, -0.4), (0.4, 0.999, -0.6),
                      (0.6, 0.999, -0.6), (15.0, 15.0, 15.0), mats["white"])
-    scene = b.build(max_leaf_size=4)
+    scene = b.build(max_leaf_size=8)
     camera = Camera.make((0.5, 0.5, 1.5), (0.5, 0.5, 0.0), (0.0, 1.0, 0.0),
                          37.8, 1.0)
     return scene, camera
