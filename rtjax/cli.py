@@ -1,0 +1,94 @@
+"""Command-line interface.
+
+The reference has no CLI (all parameters are literals in main.cu:159-170);
+this exposes the same knobs plus scene/backends selection.
+
+    python -m rtjax render --scene cornell_bunny --width 600 --height 600 \
+        --spp 10 --bounces 10 -o image.ppm
+    python -m rtjax bench ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _add_render_args(p):
+    p.add_argument("--scene", default="cornell_bunny",
+                   choices=["cornell_bunny", "cornell_planes",
+                            "cornell_bunny_mirror", "cornell_bunny_glass"])
+    p.add_argument("--width", type=int, default=600)
+    p.add_argument("--height", type=int, default=600)
+    p.add_argument("--spp", type=int, default=10)
+    p.add_argument("--bounces", type=int, default=10)
+    p.add_argument("--pool", type=int, default=1 << 17,
+                   help="wavefront path slots (constant.hpp:8 default 2^20)")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--traversal", default="auto",
+                   choices=["auto", "pallas", "xla"])
+    p.add_argument("--no-sort", action="store_true",
+                   help="disable ray sorting before packet traversal")
+    p.add_argument("--sharded", action="store_true",
+                   help="data-parallel over all visible devices")
+    p.add_argument("-o", "--output", default="image.ppm")
+
+
+def _build_scene(name):
+    from . import scenes
+    if name == "cornell_planes":
+        return scenes.cornell_planes()
+    mat = "matte"
+    if name.endswith("_mirror"):
+        mat = "mirror"
+    elif name.endswith("_glass"):
+        mat = "glass"
+    return scenes.cornell_bunny(bunny_material=mat)
+
+
+def cmd_render(args) -> int:
+    import jax
+    import numpy as np
+    from .config import RenderConfig
+    from .render import render_frame, write_ppm
+    from .utils.profiler import profiler
+
+    with profiler.phase("Building scene"):
+        scene, camera = _build_scene(args.scene)
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       num_samples=args.spp, max_bounces=args.bounces,
+                       num_working_paths=args.pool, traversal=args.traversal,
+                       sort_rays=not args.no_sort)
+    key = jax.random.key(args.seed)
+
+    with profiler.phase("Rendering"):
+        if args.sharded:
+            from .parallel import render_frame_sharded
+            fb, stats = render_frame_sharded(scene, camera, cfg, key)
+        else:
+            fb, stats = render_frame(scene, camera, cfg, key)
+        fb = np.asarray(fb)
+    rays = float(np.asarray(stats["rays_traced"]))
+    print(f"{int(np.asarray(stats['iterations']))} wavefront iterations, "
+          f"{rays:.4g} rays traced")
+
+    with profiler.phase("Writing image"):
+        write_ppm(args.output, fb, args.width, args.height)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="rtjax")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    pr = sub.add_parser("render", help="render a built-in scene")
+    _add_render_args(pr)
+    args = parser.parse_args(argv)
+    if args.cmd == "render":
+        return cmd_render(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

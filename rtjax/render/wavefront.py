@@ -45,9 +45,8 @@ from ..constants import DEAD_BOUNCES, INVALID_INDEX
 from ..core import rng, vec
 from ..core.geometry import spawn_offset_ray
 from ..core.sampling import power_heuristic
-from ..kernels.traversal import traverse_anyhit, traverse_closest
-from ..kernels.pallas_traversal import (pallas_traverse_anyhit,
-                                        pallas_traverse_closest)
+from .trace import (gather_hit_geometry, resolve_mode, trace_anyhit,
+                    trace_closest)
 from ..scene.camera import Camera
 from ..scene.light import is_delta, pdf_li, sample_li
 from ..scene.material import get_f, is_specular, sample_f
@@ -75,7 +74,8 @@ class PathState:
     hit: jax.Array      # [N] bool
     u: jax.Array        # [N] float32 (barycentric)
     v: jax.Array        # [N] float32
-    prim: jax.Array     # [N] int32 (global triangle index, -1 = none)
+    prim: jax.Array     # [N] int32 (triangle index within src, -1 = none)
+    src: jax.Array      # [N] int32 hit source: 0 = base scene, k = instance
     bounces: jax.Array  # [N] int32
     beta: jax.Array     # [N, 3] float32 throughput
     acc: jax.Array      # [N, 3] float32 radiance accumulated for the slot's
@@ -96,6 +96,7 @@ def make_initial_state(n: int) -> PathState:
         u=jnp.zeros(n, jnp.float32),
         v=jnp.zeros(n, jnp.float32),
         prim=jnp.full(n, INVALID_INDEX, jnp.int32),
+        src=jnp.zeros(n, jnp.int32),
         bounces=jnp.full(n, DEAD_BOUNCES, jnp.int32),
         beta=jnp.ones((n, 3), jnp.float32),
         acc=jnp.zeros((n, 3), jnp.float32),
@@ -125,32 +126,26 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
 
     # traversal backend: "pallas" packet kernels (TPU fast path; interpreted
     # on CPU), "xla" gather-based while_loop, or "auto"
-    mode = cfg.traversal
-    if mode == "auto":
-        mode = "pallas" if (jax.default_backend() == "tpu"
-                            and scene.tables is not None) else "xla"
-    if mode == "pallas":
-        assert scene.tables is not None, (
-            "traversal='pallas' needs a scene built with max_leaf_size <= 4")
-        interp = jax.default_backend() != "tpu"
-        t_closest = partial(pallas_traverse_closest, scene.tables,
-                            interpret=interp)
-        t_anyhit = partial(pallas_traverse_anyhit, scene.tables,
-                           interpret=interp)
-    else:
-        t_closest = partial(traverse_closest, scene.bvh, scene.tris,
-                            stack_size=cfg.stack_size)
-        t_anyhit = partial(traverse_anyhit, scene.bvh, scene.tris,
-                           stack_size=cfg.stack_size)
+    mode, interp = resolve_mode(scene, cfg)
+    t_closest = partial(trace_closest, scene, cfg, mode, interp)
+    t_anyhit = partial(trace_anyhit, scene, cfg, mode, interp)
 
     draw = lambda site: rng.uniform(key, it, site, (n,))
 
     # ---- init: emission, Russian roulette, routing (render.cuh:84-137) ----
     prim_safe = jnp.clip(state.prim, 0, scene.tris.num - 1)
-    light_idx = scene.prim_light[prim_safe]
+    # instanced prims are never emissive (lights live in the base scene)
+    light_idx = jnp.where(state.src == 0, scene.prim_light[prim_safe],
+                          INVALID_INDEX)
     emit0 = state.hit & (light_idx >= 0) & (state.bounces == 0)
     emit_val = scene.lights.emit[jnp.maximum(light_idx, 0)]
     acc = _accum(state.acc, emit_val, emit0)
+
+    # constant environment light on miss (the reference's unimplemented
+    # TODO at render.cuh:105): pure BSDF-sampled channel, never sampled by
+    # NEE, so no MIS weighting is needed
+    env_mask = ~state.hit & (state.bounces <= cfg.max_bounces)
+    acc = _accum(acc, state.beta * scene.env_radiance, env_mask)
 
     alive = state.bounces < cfg.max_bounces
     beta = state.beta
@@ -167,11 +162,12 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     gen_mask = ~mat_mask
 
     # ---- mat: shading (render.cuh:139-248) --------------------------------
-    tri = scene.tris.gather(prim_safe)
-    mtype, albedo, ior = scene.materials.gather(scene.prim_material[prim_safe])
+    tp0, te1, te2, tn, mtype, albedo, ior = gather_hit_geometry(
+        scene, state.src, state.prim)
     multiplier = beta * num_lights
-    p = tri.point(state.u, state.v)
-    n_g = -vec.normalize(tri.n)  # geometric normal convention (render.cuh:153)
+    # p(u, v) = p0 - u*e1 + v*e2 (triangle.cuh:15)
+    p = tp0 - state.u[:, None] * te1 + state.v[:, None] * te2
+    n_g = -vec.normalize(tn)  # geometric normal convention (render.cuh:153)
     wo = state.ray_d
 
     # (1) BSDF-sample the next path ray (render.cuh:158-171)
@@ -256,11 +252,12 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         root_lo, root_hi = scene.bvh.bmin[0], scene.bvh.bmax[0]
         perm, invp = sort_permutation(
             ray_sort_keys(ray_o, ray_d, root_lo, root_hi, trace_mask))
-        hit, _, hu, hv, hprim = t_closest(ray_o[perm], ray_d[perm], inf,
-                                          trace_mask[perm])
-        hit, hu, hv, hprim = hit[invp], hu[invp], hv[invp], hprim[invp]
+        hit, _, hu, hv, hprim, hsrc = t_closest(ray_o[perm], ray_d[perm], inf,
+                                                trace_mask[perm])
+        hit, hu, hv, hprim, hsrc = (hit[invp], hu[invp], hv[invp],
+                                    hprim[invp], hsrc[invp])
     else:
-        hit, _, hu, hv, hprim = t_closest(ray_o, ray_d, inf, trace_mask)
+        hit, _, hu, hv, hprim, hsrc = t_closest(ray_o, ray_d, inf, trace_mask)
 
     traced = jnp.sum(trace_mask, dtype=jnp.float32)
     if num_lights > 0:
@@ -272,18 +269,21 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         acc = _accum(acc, ah_L, ah_mask & ~occluded)
 
         if do_sort:
-            hit2, _, _, _, hprim2 = t_closest(chs_o[perm], chs_d[perm],
-                                              inf, chs_mask[perm])
-            hit2, hprim2 = hit2[invp], hprim2[invp]
+            hit2, _, _, _, hprim2, hsrc2 = t_closest(chs_o[perm], chs_d[perm],
+                                                     inf, chs_mask[perm])
+            hit2, hprim2, hsrc2 = hit2[invp], hprim2[invp], hsrc2[invp]
         else:
-            hit2, _, _, _, hprim2 = t_closest(chs_o, chs_d, inf, chs_mask)
-        acc = _accum(acc, chs_L, chs_mask & hit2 & (hprim2 == chs_target))
+            hit2, _, _, _, hprim2, hsrc2 = t_closest(chs_o, chs_d, inf,
+                                                     chs_mask)
+        # identity: the closest hit must be the picked light's BASE triangle
+        acc = _accum(acc, chs_L, chs_mask & hit2 & (hsrc2 == 0)
+                     & (hprim2 == chs_target))
         traced = traced + jnp.sum(ah_mask, dtype=jnp.float32) + \
             jnp.sum(chs_mask, dtype=jnp.float32)
 
     new_state = PathState(pixel=pixel, ray_o=ray_o, ray_d=ray_d, hit=hit,
-                          u=hu, v=hv, prim=hprim, bounces=bounces, beta=beta,
-                          acc=acc)
+                          u=hu, v=hv, prim=hprim, src=hsrc, bounces=bounces,
+                          beta=beta, acc=acc)
     work_left = jnp.any(trace_mask)
     return (new_state, fb, cam_start + num_gen, it + 1, work_left,
             rays_traced + traced)

@@ -28,7 +28,8 @@ from .transform import Transform
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["tris", "bvh", "materials", "lights",
-                      "prim_material", "prim_light", "tables"],
+                      "prim_material", "prim_light", "tables",
+                      "env_radiance", "instances", "blas"],
          meta_fields=["num_lights"])
 @dataclasses.dataclass(frozen=True)
 class Scene:
@@ -49,6 +50,11 @@ class Scene:
     prim_light: jax.Array     # [P] int32 (INVALID_INDEX if not emissive)
     tables: object            # SceneTables for the Pallas packet kernels,
                               # or None when max_leaf_size > 4
+    env_radiance: jax.Array   # [3] constant environment radiance (the
+                              # reference stubs this: light.cuh:66-68 and
+                              # the TODOs at render.cuh:105,243,325)
+    instances: object         # InstanceTable for two-level traversal, or None
+    blas: tuple               # tuple[MeshBlas] shared bottom-level structures
     num_lights: int           # static
 
 
@@ -72,6 +78,10 @@ class SceneBuilder:
         self._lpos: list[tuple] = []
         self._lemit: list[tuple] = []
         self._ltri: list[int] = []
+        self._env = (0.0, 0.0, 0.0)
+        # instancing: unique meshes + placements
+        self._blas_meshes: list[tuple] = []       # (vertices, faces)
+        self._instances: list[tuple] = []         # (mesh_idx, matrix, material)
 
     # -- materials (delegate to MaterialBuilder, material.cuh:25-44) --------
     def make_matte(self, albedo) -> int:
@@ -118,6 +128,32 @@ class SceneBuilder:
         self._lemit.append(tuple(intensity))
         self._ltri.append(INVALID_INDEX)
         return len(self._ltype) - 1
+
+    def register_mesh(self, vertices, faces) -> int:
+        """Register a unique mesh for instancing; returns its mesh id."""
+        self._blas_meshes.append((np.asarray(vertices, np.float64),
+                                  np.asarray(faces, np.int64)))
+        return len(self._blas_meshes) - 1
+
+    def add_instance(self, mesh_id: int, material: int,
+                     transform: Transform | np.ndarray | None = None) -> int:
+        """Place an instance of a registered mesh (two-level BVH).
+
+        Unlike :meth:`add_mesh` (which bakes the transform into world-space
+        triangles like main.cu:67-84), instances share one bottom-level BVH;
+        memory scales with unique meshes, not placements.
+        """
+        m = np.eye(4)
+        if transform is not None:
+            m = transform.matrix if isinstance(transform, Transform) \
+                else np.asarray(transform, np.float64)
+        self._instances.append((mesh_id, m, material))
+        return len(self._instances) - 1
+
+    def set_environment(self, radiance) -> None:
+        """Constant environment radiance added on ray miss (completes the
+        reference's unimplemented environment light, render.cuh:105)."""
+        self._env = tuple(radiance)
 
     def add_area_light(self, p0, p1, p2, radiance, material: int) -> int:
         """Add an emissive triangle (main.cu:110-116: geometry + light)."""
@@ -188,5 +224,67 @@ class SceneBuilder:
             lights=make_light_table(self._ltype, self._lpos, self._lemit, ltri),
             prim_material=jnp.asarray(mat_idx[perm]),
             prim_light=jnp.asarray(prim_light[perm]),
+            env_radiance=jnp.asarray(self._env, jnp.float32),
+            instances=self._build_instances(max_depth, max_leaf_size,
+                                            min_leaf_size, builder)[0],
+            blas=self._build_instances(max_depth, max_leaf_size,
+                                       min_leaf_size, builder)[1],
             num_lights=len(self._ltype),
         )
+
+    def _build_instances(self, max_depth, max_leaf_size, min_leaf_size,
+                         builder):
+        """Build shared BLAS + instance table (cached across the two calls)."""
+        if not self._instances:
+            return None, ()
+        if getattr(self, "_inst_cache", None) is not None:
+            return self._inst_cache
+        from ..accel import build_bvh_best
+        from ..accel.instancing import (InstanceTable, MeshBlas,
+                                        instance_world_aabb)
+        from ..kernels.pallas_traversal import build_scene_tables
+
+        blas = []
+        local_bounds = []
+        for verts, faces in self._blas_meshes:
+            p0 = verts[faces[:, 0]].astype(np.float32)
+            p1 = verts[faces[:, 1]].astype(np.float32)
+            p2 = verts[faces[:, 2]].astype(np.float32)
+            bmin = np.minimum(np.minimum(p0, p1), p2)
+            bmax = np.maximum(np.maximum(p0, p1), p2)
+            res = build_bvh_best(bmin, bmax, (p0 + p1 + p2) / 3.0,
+                                 max_depth=max_depth,
+                                 max_leaf_size=max_leaf_size,
+                                 min_leaf_size=min_leaf_size or 1,
+                                 which=builder)
+            perm = res.perm
+            tris = Triangles.from_vertices(p0[perm], p1[perm], p2[perm])
+            tables = None
+            if max_leaf_size is not None and max_leaf_size <= 8:
+                pp0, pp1, pp2 = p0[perm], p1[perm], p2[perm]
+                te1, te2 = pp0 - pp1, pp2 - pp0
+                tables = build_scene_tables(res, pp0, te1, te2,
+                                            np.cross(te1, te2))
+            blas.append(MeshBlas(tris=tris, bvh=res.to_device(),
+                                 tables=tables))
+            local_bounds.append((bmin.min(0), bmax.max(0)))
+
+        n_inst = len(self._instances)
+        fwd = np.zeros((n_inst, 3, 4), np.float32)
+        inv = np.zeros((n_inst, 3, 4), np.float32)
+        lo = np.zeros((n_inst, 3), np.float32)
+        hi = np.zeros((n_inst, 3), np.float32)
+        mats = np.zeros(n_inst, np.int32)
+        mesh_ids = []
+        for i, (mid, m, mat) in enumerate(self._instances):
+            mesh_ids.append(mid)
+            fwd[i] = np.asarray(m, np.float64)[:3, :4]
+            inv[i] = np.linalg.inv(np.asarray(m, np.float64))[:3, :4]
+            lo[i], hi[i] = instance_world_aabb(*local_bounds[mid], m)
+            mats[i] = mat
+        table = InstanceTable(fwd=jnp.asarray(fwd), inv=jnp.asarray(inv),
+                              aabb_lo=jnp.asarray(lo), aabb_hi=jnp.asarray(hi),
+                              material=jnp.asarray(mats),
+                              mesh_id=tuple(mesh_ids))
+        self._inst_cache = (table, tuple(blas))
+        return self._inst_cache

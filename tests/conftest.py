@@ -8,6 +8,9 @@ the framework's analog of a fake-backend distributed test rig (SURVEY.md §4).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the axon sitecustomize registers a remote-TPU backend that overrides
+# JAX_PLATFORMS; dropping its trigger variable keeps tests on CPU
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags +
@@ -16,6 +19,10 @@ if "host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# the axon sitecustomize may have force-registered a remote-TPU backend at
+# interpreter start; the config override wins over it
+jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: the big while-loop programs take minutes to
 # compile on this 1-core host; cache them across test runs
