@@ -50,14 +50,16 @@ def main() -> None:
     # compile
     t0 = time.time()
     fb, stats = render_frame(scene, camera, cfg, key)
-    fb.block_until_ready()
+    _ = float(np.asarray(fb).mean())  # host fetch: the only reliable sync
     print(f"# compile+first run {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # timed run
-    t0 = time.time()
-    fb, stats = render_frame(scene, camera, cfg, jax.random.key(2))
-    fb.block_until_ready()
-    dt = time.time() - t0
+    # timed runs (min of 2: the remote tunnel can hiccup)
+    dt = float("inf")
+    for rep in range(2):
+        t0 = time.time()
+        fb, stats = render_frame(scene, camera, cfg, jax.random.key(2 + rep))
+        _ = float(np.asarray(fb).mean())
+        dt = min(dt, time.time() - t0)
     rays = float(np.asarray(stats["rays_traced"]))
     mrays = rays / dt / 1e6
     print(f"# {width}x{height}@{spp}spp: {dt:.2f}s, {rays:.3g} rays, "

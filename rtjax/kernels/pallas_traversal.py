@@ -162,13 +162,11 @@ def _ray_setup(o_ref, d_ref, t_ref, ti):
     return o, d_raw, inv, sc, t_ref[ti], mo, minv
 
 
-def _mean_entry(pb_ref, pair, base, mo, minv):
+def _mean_entry(b, mo, minv):
     """Scalar entry distance of the packet's mean ray vs one child bbox."""
     e = None
     for k in range(3):
-        lo = pb_ref[pair, base + k]
-        hi = pb_ref[pair, base + 3 + k]
-        near = jnp.where(minv[k] >= 0, lo, hi)
+        near = jnp.where(minv[k] >= 0, b[k], b[3 + k])
         ek = (near - mo[k]) * minv[k]
         e = ek if e is None else jnp.maximum(e, ek)
     return e
@@ -183,14 +181,20 @@ def _any_pair(hit_l, hit_r):
     return s >= 4096, (s & 4095) > 0
 
 
-def _slab(pb_ref, pair, base, inv, sc, tmax):
-    """Full-tile slab test vs one child's bounds at lane offset ``base``."""
-    e0 = pb_ref[pair, base + 0] * inv[0] + sc[0]
-    e1 = pb_ref[pair, base + 1] * inv[1] + sc[1]
-    e2 = pb_ref[pair, base + 2] * inv[2] + sc[2]
-    x0 = pb_ref[pair, base + 3] * inv[0] + sc[0]
-    x1 = pb_ref[pair, base + 4] * inv[1] + sc[1]
-    x2 = pb_ref[pair, base + 5] * inv[2] + sc[2]
+def _load_bounds(pb_ref, pair, base):
+    """The 6 bound scalars of one child (loaded once, used by both the
+    vector slab test and the scalar mean-ray ordering)."""
+    return tuple(pb_ref[pair, base + k] for k in range(6))
+
+
+def _slab(b, inv, sc, tmax):
+    """Full-tile slab test vs one child's (preloaded scalar) bounds."""
+    e0 = b[0] * inv[0] + sc[0]
+    e1 = b[1] * inv[1] + sc[1]
+    e2 = b[2] * inv[2] + sc[2]
+    x0 = b[3] * inv[0] + sc[0]
+    x1 = b[4] * inv[1] + sc[1]
+    x2 = b[5] * inv[2] + sc[2]
     entry = jnp.maximum(jnp.maximum(jnp.minimum(e0, x0), jnp.minimum(e1, x1)),
                         jnp.minimum(e2, x2))
     exit_ = jnp.minimum(jnp.minimum(jnp.maximum(e0, x0), jnp.maximum(e1, x1)),
@@ -287,8 +291,10 @@ def _closest_kernel(o_ref, d_ref, t_ref, act_ref, nm_ref, pb_ref, lt_ref,
         cur, sp, done, tmax, t, u, v, prim = carry
         pair = cur >> 1  # left child is always odd: pair row = (cur-1)/2
 
-        hit_l = _slab(pb_ref, pair, 0, inv, sc, tmax)
-        hit_r = _slab(pb_ref, pair, 6, inv, sc, tmax)
+        bl = _load_bounds(pb_ref, pair, 0)
+        br = _load_bounds(pb_ref, pair, 6)
+        hit_l = _slab(bl, inv, sc, tmax)
+        hit_r = _slab(br, inv, sc, tmax)
         any_l, any_r = _any_pair(hit_l, hit_r)
         meta_l = nm_ref[cur]
         meta_r = nm_ref[cur + 1]
@@ -304,8 +310,7 @@ def _closest_kernel(o_ref, d_ref, t_ref, act_ref, nm_ref, pb_ref, lt_ref,
                               carry5)
         tmax, t, u, v, prim = carry5
 
-        l_far = _mean_entry(pb_ref, pair, 0, mo, minv) > \
-            _mean_entry(pb_ref, pair, 6, mo, minv)
+        l_far = _mean_entry(bl, mo, minv) > _mean_entry(br, mo, minv)
         cur, sp, done = _descend(
             nm_ref, stack_ref, l_far,
             any_l & ~leaf_l, any_r & ~leaf_r, meta_l >> 4, meta_r >> 4,
@@ -357,8 +362,10 @@ def _anyhit_kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, nm_ref, pb_ref,
         live_tmax = jnp.where(occluded != 0, -BIG, tmax)
         pair = cur >> 1
 
-        hit_l = _slab(pb_ref, pair, 0, inv, sc, live_tmax)
-        hit_r = _slab(pb_ref, pair, 6, inv, sc, live_tmax)
+        bl = _load_bounds(pb_ref, pair, 0)
+        br = _load_bounds(pb_ref, pair, 6)
+        hit_l = _slab(bl, inv, sc, live_tmax)
+        hit_r = _slab(br, inv, sc, live_tmax)
         any_l, any_r = _any_pair(hit_l, hit_r)
         meta_l = nm_ref[cur]
         meta_r = nm_ref[cur + 1]
@@ -375,8 +382,7 @@ def _anyhit_kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, nm_ref, pb_ref,
         # NB outside the conds: Mosaic cannot legalize reductions in scf.if.
         done = done | jnp.all((occluded != 0) | ~valid)
 
-        l_far = _mean_entry(pb_ref, pair, 0, mo, minv) > \
-            _mean_entry(pb_ref, pair, 6, mo, minv)
+        l_far = _mean_entry(bl, mo, minv) > _mean_entry(br, mo, minv)
         cur, sp, done = _descend(
             nm_ref, stack_ref, l_far,
             any_l & ~leaf_l, any_r & ~leaf_r, meta_l >> 4, meta_r >> 4,
