@@ -49,8 +49,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.bvh import BuildResult
 
-# tile geometry: TILE rays = SUBLANES x 128 lanes
-SUBLANES = 8
+# tile geometry: TILE rays = SUBLANES x 128 lanes (16 sublanes measured
+# fastest on v5e: bigger tiles amortize the scalar walk, unions grow slower)
+SUBLANES = 16
 TILE = SUBLANES * 128
 STACK_SIZE = 64
 MAX_LEAF = 8          # 8 tris/leaf fit one 128-lane row: 96 floats + 8 ids

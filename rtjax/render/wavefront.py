@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from ..config import RenderConfig
 from ..constants import DEAD_BOUNCES, INVALID_INDEX
 from ..core import rng, vec
-from ..core.geometry import spawn_offset_ray
+from ..core.geometry import intersect_triangle, spawn_offset_ray
 from ..core.sampling import power_heuristic
 from .trace import (gather_hit_geometry, resolve_mode, trace_anyhit,
                     trace_closest)
@@ -210,7 +210,15 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         chs_L = multiplier * f2c * scene.lights.emit[pick] * \
             (w2 / pdf2)[:, None]
         chs_o, chs_d, _ = spawn_offset_ray(p, n2, wi2)
-        chs_target = ltri  # the picked light's triangle (fixes render.cuh:236)
+        # "closest hit == the picked light's triangle" (render.cuh:321, with
+        # the target fixed to the light, see deviation 3)  <=>  the ray hits
+        # that triangle at t_l AND nothing else hits with t <= t_l.  One
+        # direct MT test + an any-hit query replaces the expensive
+        # closest-hit traversal.
+        ltri_g = scene.tris.gather(jnp.maximum(ltri, 0))
+        chs_hit_l, chs_t, _, _ = intersect_triangle(
+            chs_o, chs_d, jnp.inf, ltri_g.p0, ltri_g.e1, ltri_g.e2, ltri_g.n)
+        chs_mask = chs_mask & chs_hit_l
 
     # ---- gen: refill dead slots with camera rays (render.cuh:250-275) -----
     gen_rank = jnp.cumsum(gen_mask) - gen_mask  # exclusive prefix sum
@@ -269,15 +277,11 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         acc = _accum(acc, ah_L, ah_mask & ~occluded)
 
         if do_sort:
-            hit2, _, _, _, hprim2, hsrc2 = t_closest(chs_o[perm], chs_d[perm],
-                                                     inf, chs_mask[perm])
-            hit2, hprim2, hsrc2 = hit2[invp], hprim2[invp], hsrc2[invp]
+            blocked = t_anyhit(chs_o[perm], chs_d[perm], chs_t[perm],
+                               ltri[perm], chs_mask[perm])[invp]
         else:
-            hit2, _, _, _, hprim2, hsrc2 = t_closest(chs_o, chs_d, inf,
-                                                     chs_mask)
-        # identity: the closest hit must be the picked light's BASE triangle
-        acc = _accum(acc, chs_L, chs_mask & hit2 & (hsrc2 == 0)
-                     & (hprim2 == chs_target))
+            blocked = t_anyhit(chs_o, chs_d, chs_t, ltri, chs_mask)
+        acc = _accum(acc, chs_L, chs_mask & ~blocked)
         traced = traced + jnp.sum(ah_mask, dtype=jnp.float32) + \
             jnp.sum(chs_mask, dtype=jnp.float32)
 
