@@ -57,6 +57,20 @@ def uniform_sample_sphere(u1, u2):
     return vec.vec3(r * jnp.cos(phi), r * jnp.sin(phi), z)
 
 
+def random_in_unit_sphere(key, shape):
+    """Rejection-free equivalent of the reference's rejection sampler
+    (utility.cuh:19-28, unused in its pipeline; kept for API parity).
+
+    Uniform points INSIDE the unit sphere via radius ~ cbrt(U).
+    """
+    import jax
+    k1, k2, k3 = jax.random.split(key, 3)
+    d = uniform_sample_sphere(jax.random.uniform(k1, shape),
+                              jax.random.uniform(k2, shape))
+    r = jnp.cbrt(jax.random.uniform(k3, shape))
+    return d * r[..., None]
+
+
 def uniform_sample_disk(u1, u2):
     """Uniform point on the unit disk (utility.cuh:62-68). Returns (x, y)."""
     r = jnp.sqrt(u1)

@@ -168,7 +168,8 @@ class SceneBuilder:
     def build(self, max_depth: int = BVH_MAX_DEPTH,
               max_leaf_size: int | None = 8,
               min_leaf_size: int | None = None,
-              builder: str = "auto") -> Scene:
+              builder: str = "auto",
+              verbose: bool = False) -> Scene:
         """Assemble the device scene (BVH build + leaf-order permutation).
 
         ``min_leaf_size`` defaults to ``max_leaf_size`` (filled leaf rows for
@@ -193,6 +194,13 @@ class SceneBuilder:
         res = build_bvh_best(bmin, bmax, centers, max_depth=max_depth,
                              max_leaf_size=max_leaf_size,
                              min_leaf_size=min_leaf_size, which=builder)
+        if verbose:
+            # same stats the reference prints (bvh.cuh:63-69,203-204)
+            lo, hi = bmin.min(0), bmax.max(0)
+            print(f"Global bounding box: ({lo[0]:.6g}, {lo[1]:.6g}, "
+                  f"{lo[2]:.6g}) ({hi[0]:.6g}, {hi[1]:.6g}, {hi[2]:.6g})")
+            print(f"BVH has {res.num_nodes} nodes and {self._num_tris} "
+                  f"primitives, with max_depth = {res.max_depth}")
 
         perm = res.perm
         inv_perm = np.empty_like(perm)
