@@ -64,7 +64,11 @@ BIG = 3.4e38  # plain float: jnp constants would be captured as kernel consts
 class SceneTables:
     pair_bounds: jax.Array  # [(M-1)//2, 16] f32
     node_meta: jax.Array    # [M] i32 (SMEM side)
-    leaf_tris: jax.Array    # [L, 64] f32
+    pair_order: jax.Array   # [(M-1)//2] i32: near-child bit per direction
+                            # octant (SMEM side) — build-time replacement for
+                            # the reference's per-ray entry compare
+                            # (bvh.cuh:284), one SMEM read per step
+    leaf_tris: jax.Array    # [L, 128] f32
 
 
 def build_scene_tables(res: BuildResult, p0, e1, e2, n_vec,
@@ -101,6 +105,17 @@ def build_scene_tables(res: BuildResult, p0, e1, e2, n_vec,
     pair[:n_pairs, 3:6] = bmax[li]
     pair[:n_pairs, 6:9] = bmin[li + 1]
     pair[:n_pairs, 9:12] = bmax[li + 1]
+
+    # per-octant near-child ordering bits: bit o set <=> LEFT child is
+    # farther for rays whose direction signs match octant o
+    c_l = 0.5 * (bmin[li] + bmax[li])
+    c_r = 0.5 * (bmin[li + 1] + bmax[li + 1])
+    order = np.zeros(max(n_pairs, 1), np.int64)
+    for o in range(8):
+        dirv = np.array([1 - 2 * (o & 1), 1 - 2 * ((o >> 1) & 1),
+                         1 - 2 * ((o >> 2) & 1)], np.float32)
+        l_far = (c_l @ dirv) > (c_r @ dirv)
+        order[:n_pairs] |= l_far.astype(np.int64) << o
 
     # leaf-packed triangles
     leaves = np.nonzero(num_prims > 0)[0]
@@ -142,6 +157,7 @@ def build_scene_tables(res: BuildResult, p0, e1, e2, n_vec,
 
     return SceneTables(pair_bounds=jnp.asarray(pair),
                        node_meta=jnp.asarray(meta),
+                       pair_order=jnp.asarray(order.astype(np.int32)),
                        leaf_tris=jnp.asarray(tri_rows))
 
 
@@ -153,24 +169,13 @@ def _ray_setup(o_ref, d_ref, t_ref, ti):
                  for dk in d_raw)
     inv = tuple(1.0 / dk for dk in safe)
     sc = tuple(-ok * ik for ok, ik in zip(o, inv))
-    # packet mean ray (scalars): drives the near-child ordering heuristic
-    # with zero per-step vector->scalar crossings (6 reductions, once)
-    mo = tuple(jnp.sum(ok) * (1.0 / TILE) for ok in o)
-    md = tuple(jnp.sum(dk) * (1.0 / TILE) for dk in d_raw)
-    minv = tuple(1.0 / jnp.where(jnp.abs(mk) < eps,
-                                 jnp.where(mk >= 0, eps, -eps), mk)
-                 for mk in md)
-    return o, d_raw, inv, sc, t_ref[ti], mo, minv
-
-
-def _mean_entry(b, mo, minv):
-    """Scalar entry distance of the packet's mean ray vs one child bbox."""
-    e = None
-    for k in range(3):
-        near = jnp.where(minv[k] >= 0, b[k], b[3 + k])
-        ek = (near - mo[k]) * minv[k]
-        e = ek if e is None else jnp.maximum(e, ek)
-    return e
+    # packet mean-direction octant (scalar): picks the per-pair precomputed
+    # near-child bit (3 reductions, once per tile)
+    md = tuple(jnp.sum(dk) for dk in d_raw)
+    octant = ((md[0] < 0).astype(jnp.int32)
+              | ((md[1] < 0).astype(jnp.int32) << 1)
+              | ((md[2] < 0).astype(jnp.int32) << 2))
+    return o, d_raw, inv, sc, t_ref[ti], octant
 
 
 def _any_pair(hit_l, hit_r):
@@ -262,15 +267,16 @@ def _descend(nm_ref, stack_ref, l_far, live_l, live_r, child_l, child_r,
     return cur, new_sp, done
 
 
-def _closest_kernel(o_ref, d_ref, t_ref, act_ref, nm_ref, pb_ref, lt_ref,
-                    hit_ref, tout_ref, u_ref, v_ref, prim_ref, stack_ref):
+def _closest_kernel(o_ref, d_ref, t_ref, act_ref, nm_ref, po_ref, pb_ref,
+                    lt_ref, hit_ref, tout_ref, u_ref, v_ref, prim_ref,
+                    stack_ref):
   """Single grid step; tiles iterated INSIDE the kernel so the VMEM-resident
   scene tables are fetched once, not per tile (Mosaic re-DMAs full-array
   operands on every grid step — 30 MB x n_tiles of wasted HBM traffic)."""
   n_tiles = hit_ref.shape[0]
 
   def tile_body(ti, _):
-    o, d, inv, sc, tmax0, mo, minv = _ray_setup(o_ref, d_ref, t_ref, ti)
+    o, d, inv, sc, tmax0, octant = _ray_setup(o_ref, d_ref, t_ref, ti)
     valid = act_ref[ti] != 0
     # dead lanes never match anything: tmax = -BIG rejects every test
     tmax = jnp.where(valid, tmax0, -BIG)
@@ -311,7 +317,7 @@ def _closest_kernel(o_ref, d_ref, t_ref, act_ref, nm_ref, pb_ref, lt_ref,
                               carry5)
         tmax, t, u, v, prim = carry5
 
-        l_far = _mean_entry(bl, mo, minv) > _mean_entry(br, mo, minv)
+        l_far = ((po_ref[pair] >> octant) & 1) == 1
         cur, sp, done = _descend(
             nm_ref, stack_ref, l_far,
             any_l & ~leaf_l, any_r & ~leaf_r, meta_l >> 4, meta_r >> 4,
@@ -335,13 +341,13 @@ def _closest_kernel(o_ref, d_ref, t_ref, act_ref, nm_ref, pb_ref, lt_ref,
   jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
-def _anyhit_kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, nm_ref, pb_ref,
-                   lt_ref, occ_ref, stack_ref):
+def _anyhit_kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, nm_ref, po_ref,
+                   pb_ref, lt_ref, occ_ref, stack_ref):
   """Single grid step, in-kernel tile loop (see _closest_kernel)."""
   n_tiles = occ_ref.shape[0]
 
   def tile_body(ti, _):
-    o, d, inv, sc, tmax0, mo, minv = _ray_setup(o_ref, d_ref, t_ref, ti)
+    o, d, inv, sc, tmax0, octant = _ray_setup(o_ref, d_ref, t_ref, ti)
     valid = act_ref[ti] != 0
     exclude = ex_ref[ti]
     tmax = jnp.where(valid, tmax0, -BIG)
@@ -383,7 +389,7 @@ def _anyhit_kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, nm_ref, pb_ref,
         # NB outside the conds: Mosaic cannot legalize reductions in scf.if.
         done = done | jnp.all((occluded != 0) | ~valid)
 
-        l_far = _mean_entry(bl, mo, minv) > _mean_entry(br, mo, minv)
+        l_far = ((po_ref[pair] >> octant) & 1) == 1
         cur, sp, done = _descend(
             nm_ref, stack_ref, l_far,
             any_l & ~leaf_l, any_r & ~leaf_r, meta_l >> 4, meta_r >> 4,
@@ -442,7 +448,7 @@ def pallas_traverse_closest(tables: SceneTables, origin, direction, tmax,
     shp = (n_tiles, SUBLANES, 128)
     hit, t, u, v, prim = pl.pallas_call(
         _closest_kernel,
-        in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _META, _VMEM, _VMEM],
+        in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _META, _META, _VMEM, _VMEM],
         out_specs=[_VMEM] * 5,
         out_shape=[jax.ShapeDtypeStruct(shp, jnp.int32),
                    jax.ShapeDtypeStruct(shp, jnp.float32),
@@ -453,7 +459,8 @@ def pallas_traverse_closest(tables: SceneTables, origin, direction, tmax,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(tables, n_pad)),
         interpret=interpret,
-    )(o, d, tm, act, tables.node_meta, tables.pair_bounds, tables.leaf_tris)
+    )(o, d, tm, act, tables.node_meta, tables.pair_order,
+      tables.pair_bounds, tables.leaf_tris)
 
     flat = lambda a: a.reshape(n_pad)[:n]
     return (flat(hit) != 0, flat(t), flat(u), flat(v), flat(prim))
@@ -475,13 +482,14 @@ def pallas_traverse_anyhit(tables: SceneTables, origin, direction, tmax,
 
     occ = pl.pallas_call(
         _anyhit_kernel,
-        in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _VMEM, _META, _VMEM, _VMEM],
+        in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _VMEM, _META, _META, _VMEM,
+                  _VMEM],
         out_specs=_VMEM,
         out_shape=jax.ShapeDtypeStruct((n_tiles, SUBLANES, 128), jnp.int32),
         scratch_shapes=[pltpu.SMEM((STACK_SIZE,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(tables, n_pad)),
         interpret=interpret,
-    )(o, d, tm, act, ex, tables.node_meta, tables.pair_bounds,
-      tables.leaf_tris)
+    )(o, d, tm, act, ex, tables.node_meta, tables.pair_order,
+      tables.pair_bounds, tables.leaf_tris)
     return occ.reshape(n_pad)[:n] != 0
