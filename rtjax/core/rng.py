@@ -34,3 +34,12 @@ def site_key(base_key, iteration, site: int, num_sites: int = 32):
 def uniform(base_key, iteration, site: int, shape) -> jax.Array:
     """Batch of U[0,1) float32 draws for one draw site."""
     return jax.random.uniform(site_key(base_key, iteration, site), shape, jnp.float32)
+
+
+def uniform_block(base_key, iteration, num_sites: int, n: int) -> jax.Array:
+    """All of an iteration's draw sites in ONE threefry sweep: ``[sites, n]``.
+
+    One fold_in + one counter sweep instead of ``num_sites`` of each.
+    """
+    key = jax.random.fold_in(base_key, iteration)
+    return jax.random.uniform(key, (num_sites, n), jnp.float32)

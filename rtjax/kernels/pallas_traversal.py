@@ -107,9 +107,12 @@ def build_scene_tables(res: BuildResult, p0, e1, e2, n_vec,
     pair[:n_pairs, 9:12] = bmax[li + 1]
 
     # per-octant near-child ordering bits: bit o set <=> LEFT child is
-    # farther for rays whose direction signs match octant o
-    c_l = 0.5 * (bmin[li] + bmax[li])
-    c_r = 0.5 * (bmin[li + 1] + bmax[li + 1])
+    # farther for rays whose direction signs match octant o.
+    # (nan_to_num: the leaf-root wrap's dummy child has an inverted
+    # inf/-inf bbox whose center is NaN; its order bit is never used)
+    with np.errstate(invalid="ignore"):
+        c_l = np.nan_to_num(0.5 * (bmin[li] + bmax[li]))
+        c_r = np.nan_to_num(0.5 * (bmin[li + 1] + bmax[li + 1]))
     order = np.zeros(max(n_pairs, 1), np.int64)
     for o in range(8):
         dirv = np.array([1 - 2 * (o & 1), 1 - 2 * ((o >> 1) & 1),

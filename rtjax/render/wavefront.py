@@ -130,7 +130,9 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     t_closest = partial(trace_closest, scene, cfg, mode, interp)
     t_anyhit = partial(trace_anyhit, scene, cfg, mode, interp)
 
-    draw = lambda site: rng.uniform(key, it, site, (n,))
+    # all RNG sites of this iteration in one threefry sweep
+    _uniforms = rng.uniform_block(key, it, NUM_RNG_SITES, n)
+    draw = lambda site: _uniforms[site]
 
     # ---- init: emission, Russian roulette, routing (render.cuh:84-137) ----
     prim_safe = jnp.clip(state.prim, 0, scene.tris.num - 1)
