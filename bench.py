@@ -31,7 +31,7 @@ def main() -> None:
 
     width = int(os.environ.get("BENCH_WIDTH", 256))
     height = int(os.environ.get("BENCH_HEIGHT", 256))
-    spp = int(os.environ.get("BENCH_SPP", 16))
+    spp = int(os.environ.get("BENCH_SPP", 64))
     bounces = int(os.environ.get("BENCH_BOUNCES", 10))
     pool = int(os.environ.get("BENCH_POOL", 1 << 17))
     traversal = os.environ.get("BENCH_TRAVERSAL", "pallas")

@@ -40,6 +40,20 @@ def ray_sort_keys(origin, direction, lo, hi, active):
     return jnp.where(active, key, jnp.int32(0x7FFFFFFF))
 
 
+def ray_sort_keys_prim(prim, direction, active):
+    """Tree-locality sort keys: 3-bit octant | origin primitive index.
+
+    For bounce rays the triangle they left (leaf order == tree order) is a
+    sharper locality signal than a quantized Morton code; camera rays
+    (prim = -1) keep their generation order via the stable sort.
+    """
+    octant = ((direction[:, 0] < 0).astype(jnp.int32)
+              | ((direction[:, 1] < 0).astype(jnp.int32) << 1)
+              | ((direction[:, 2] < 0).astype(jnp.int32) << 2))
+    key = (octant << 24) | jnp.clip(prim, 0, (1 << 24) - 1)
+    return jnp.where(active, key, jnp.int32(0x7FFFFFFF))
+
+
 def sort_permutation(keys):
     """Stable argsort + inverse (for scattering results back)."""
     perm = jnp.argsort(keys, stable=True)

@@ -51,7 +51,7 @@ from ..scene.camera import Camera
 from ..scene.light import is_delta, pdf_li, sample_li
 from ..scene.material import get_f, is_specular, sample_f
 from ..scene.scene import Scene
-from .sorting import ray_sort_keys, sort_permutation
+from .sorting import ray_sort_keys, ray_sort_keys_prim, sort_permutation
 
 # RNG draw-site ids (one threefry sweep per site per iteration)
 _S_RR = 0
@@ -259,9 +259,13 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     inf = jnp.full(n, jnp.inf, jnp.float32)
     do_sort = cfg.sort_rays and mode == "pallas"
     if do_sort:
-        root_lo, root_hi = scene.bvh.bmin[0], scene.bvh.bmax[0]
-        perm, invp = sort_permutation(
-            ray_sort_keys(ray_o, ray_d, root_lo, root_hi, trace_mask))
+        if cfg.sort_key == "prim":
+            src_prim = jnp.where(mat_mask, state.prim, -1)
+            keys = ray_sort_keys_prim(src_prim, ray_d, trace_mask)
+        else:
+            root_lo, root_hi = scene.bvh.bmin[0], scene.bvh.bmax[0]
+            keys = ray_sort_keys(ray_o, ray_d, root_lo, root_hi, trace_mask)
+        perm, invp = sort_permutation(keys)
         hit, _, hu, hv, hprim, hsrc = t_closest(ray_o[perm], ray_d[perm], inf,
                                                 trace_mask[perm])
         hit, hu, hv, hprim, hsrc = (hit[invp], hu[invp], hv[invp],
