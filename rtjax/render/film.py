@@ -18,9 +18,19 @@ def to_u8(framebuffer, width: int, height: int) -> np.ndarray:
     return np.clip((256.0 * fb).astype(np.int32), 0, 255).astype(np.uint8)
 
 
-def write_ppm(path, framebuffer, width: int, height: int) -> None:
-    """ASCII PPM (P3), row-major top-to-bottom like main.cu:177-192."""
+def write_ppm(path, framebuffer, width: int, height: int,
+              binary: bool = False) -> None:
+    """PPM writer, row-major top-to-bottom like main.cu:177-192.
+
+    ASCII P3 by default (exactly the reference's format); ``binary=True``
+    writes P6 (3 bytes/pixel).
+    """
     img = to_u8(framebuffer, width, height)
+    if binary:
+        with open(path, "wb") as f:
+            f.write(f"P6\n{width} {height}\n255\n".encode())
+            f.write(img.tobytes())
+        return
     with open(path, "w") as f:
         f.write(f"P3\n{width} {height}\n255\n")
         flat = img.reshape(-1, 3)
@@ -29,7 +39,20 @@ def write_ppm(path, framebuffer, width: int, height: int) -> None:
 
 
 def read_ppm(path) -> np.ndarray:
-    """Read an ASCII P3 PPM into a ``[H, W, 3]`` uint8 array (test helper)."""
+    """Read a P3 or P6 PPM into a ``[H, W, 3]`` uint8 array (test helper)."""
+    with open(path, "rb") as f:
+        magic = f.read(2)
+        if magic == b"P6":
+            header = []
+            while len(header) < 3:
+                line = f.readline()
+                if line.startswith(b"#"):
+                    continue
+                header.extend(line.split())
+            w, h, maxv = (int(x) for x in header)
+            assert maxv == 255
+            data = np.frombuffer(f.read(w * h * 3), np.uint8)
+            return data.reshape(h, w, 3).copy()
     with open(path) as f:
         tokens = f.read().split()
     assert tokens[0] == "P3"
