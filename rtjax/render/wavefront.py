@@ -119,7 +119,7 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
                    carry):
     """One wavefront iteration == one bounce for all in-flight paths
     (the body of the host loop at render.cuh:428-449)."""
-    state, fb, cam_start, it, _, rays_traced = carry
+    state, fb, cam_start, it, _, rays_traced, occ_sum = carry
     n = state.pixel.shape[0]
     num_lights = scene.num_lights
     cam_end = cfg.total_camera_rays
@@ -295,8 +295,9 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
                           u=hu, v=hv, prim=hprim, src=hsrc, bounces=bounces,
                           beta=beta, acc=acc)
     work_left = jnp.any(trace_mask)
+    occupancy = jnp.sum(trace_mask, dtype=jnp.float32) / n
     return (new_state, fb, cam_start + num_gen, it + 1, work_left,
-            rays_traced + traced)
+            rays_traced + traced, occ_sum + occupancy)
 
 
 def render_frame_linear(scene: Scene, camera: Camera, cfg: RenderConfig, key):
@@ -310,18 +311,21 @@ def render_frame_linear(scene: Scene, camera: Camera, cfg: RenderConfig, key):
     state = make_initial_state(n)
     fb = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
     carry = (state, fb, jnp.int32(0), jnp.int32(0), jnp.bool_(False),
-             jnp.float32(0))
+             jnp.float32(0), jnp.float32(0))
 
     def cond(carry):
-        _, _, cam_start, it, work_left, _ = carry
+        cam_start, it, work_left = carry[2], carry[3], carry[4]
         more = work_left | (cam_start < cfg.total_camera_rays)
         if cfg.max_iterations is not None:
             more = more & (it < cfg.max_iterations)
         return more
 
     step = partial(wavefront_step, scene, camera, cfg, key)
-    state, fb, _, it, _, rays = jax.lax.while_loop(cond, step, carry)
-    return fb, {"iterations": it, "rays_traced": rays}
+    state, fb, _, it, _, rays, occ = jax.lax.while_loop(cond, step, carry)
+    # avg path-slot occupancy per iteration: the compaction-quality metric
+    # the reference never had (SURVEY.md §5 observability)
+    return fb, {"iterations": it, "rays_traced": rays,
+                "avg_occupancy": occ / jnp.maximum(it, 1)}
 
 
 @partial(jax.jit, static_argnames=("cfg",))
