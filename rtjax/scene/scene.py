@@ -20,7 +20,6 @@ import numpy as np
 from ..constants import BVH_MAX_DEPTH, INVALID_INDEX
 from ..core.geometry import Triangles
 from ..accel.bvh import BvhArrays
-from . import light as light_mod
 from .material import MaterialBuilder, MaterialTable
 from .light import AREA_LIGHT, POINT_LIGHT, LightTable, make_light_table
 from .transform import Transform
