@@ -62,7 +62,7 @@ BIG = 3.4e38  # plain float: jnp constants would be captured as kernel consts
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SceneTables:
-    pair_bounds: jax.Array  # [(M-1)//2, 16] f32
+    pair_bounds: jax.Array  # [(M-1)//2, 128] f32 (12 lanes used)
     node_meta: jax.Array    # [M] i32 (SMEM side)
     pair_order: jax.Array   # [(M-1)//2] i32: near-child bit per direction
                             # octant (SMEM side) — build-time replacement for
@@ -97,9 +97,11 @@ def build_scene_tables(res: BuildResult, p0, e1, e2, n_vec,
     assert num_prims.max(initial=1) <= MAX_LEAF, (
         f"pallas traversal requires max_leaf_size <= {MAX_LEAF} at build time")
 
-    # pair rows for children (left = 2k+1, right = 2k+2)
+    # pair rows for children (left = 2k+1, right = 2k+2); 128 logical lanes
+    # (the physical layout pads to 128 anyway) so one row loads as a full
+    # vector for lane-broadcast gathers
     n_pairs = (m - 1) // 2
-    pair = np.zeros((max(n_pairs, 1), 16), np.float32)
+    pair = np.zeros((max(n_pairs, 1), 128), np.float32)
     li = 1 + 2 * np.arange(n_pairs)
     pair[:n_pairs, 0:3] = bmin[li]
     pair[:n_pairs, 3:6] = bmax[li]
@@ -190,10 +192,23 @@ def _any_pair(hit_l, hit_r):
     return s >= 4096, (s & 4095) > 0
 
 
-def _load_bounds(pb_ref, pair, base):
-    """The 6 bound scalars of one child (loaded once, used by both the
-    vector slab test and the scalar mean-ray ordering)."""
-    return tuple(pb_ref[pair, base + k] for k in range(6))
+def _bcast_lanes(row_b, lanes):
+    """Broadcast selected lanes of a row to full [S, 128] tiles.
+
+    ``row_b`` is a [SUBLANES, 128] broadcast of one table row; each output is
+    the row's lane ``k`` replicated everywhere.  Constant-index
+    ``take_along_axis`` is a pure-VPU lane shuffle — this moves table reads
+    off the saturated scalar unit (12 scalar loads -> 1 vector load).
+    """
+    return tuple(
+        jnp.take_along_axis(row_b, jnp.full(row_b.shape, k, jnp.int32),
+                            axis=1)
+        for k in lanes)
+
+
+def _load_pair_row(pb_ref, pair):
+    row = pb_ref[pl.ds(pair, 1), :]            # [1, 128]
+    return jnp.broadcast_to(row, (SUBLANES, 128))
 
 
 def _slab(b, inv, sc, tmax):
@@ -211,18 +226,15 @@ def _slab(b, inv, sc, tmax):
     return (entry <= exit_) & (exit_ >= 0.0) & (entry <= tmax)
 
 
-def _mt(lt_ref, row, slot, o, d, tmax):
-    """Full-tile Moeller-Trumbore vs leaf-table triangle ``slot`` (0..3).
+def _mt(row_b, slot, o, d, tmax):
+    """Full-tile Moeller-Trumbore vs leaf-table triangle ``slot`` (0..7).
 
-    Exact reference accept rule (triangle.cuh:39-58).
-    Returns (hit, t, u, v, prim_id_as_f32).
+    ``row_b``: broadcast [S, 128] leaf row.  Exact reference accept rule
+    (triangle.cuh:39-58).  Returns (hit, t, u, v, prim_id_as_f32).
     """
     b = 12 * slot
-    p0x = lt_ref[row, b + 0]; p0y = lt_ref[row, b + 1]; p0z = lt_ref[row, b + 2]
-    e1x = lt_ref[row, b + 3]; e1y = lt_ref[row, b + 4]; e1z = lt_ref[row, b + 5]
-    e2x = lt_ref[row, b + 6]; e2y = lt_ref[row, b + 7]; e2z = lt_ref[row, b + 8]
-    nx = lt_ref[row, b + 9]; ny = lt_ref[row, b + 10]; nz = lt_ref[row, b + 11]
-    pid = lt_ref[row, PID_BASE + slot]  # prim id as exact f32 value
+    (p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z, nx, ny, nz, pid) = \
+        _bcast_lanes(row_b, list(range(b, b + 12)) + [PID_BASE + slot])
 
     ox, oy, oz = o
     dx, dy, dz = d
@@ -287,9 +299,10 @@ def _closest_kernel(o_ref, d_ref, t_ref, act_ref, nm_ref, po_ref, pb_ref,
     def leaf_loop(meta, carry):
         row = meta >> 4
         count = meta & 15
+        row_b = jnp.broadcast_to(lt_ref[pl.ds(row, 1), :], (SUBLANES, 128))
         for slot in range(MAX_LEAF):  # unrolled; padded slots never hit
             tmax, t, u, v, prim = carry
-            h, tt, uu, vv, pidf = _mt(lt_ref, row, slot, o, d, tmax)
+            h, tt, uu, vv, pidf = _mt(row_b, slot, o, d, tmax)
             h = h & (slot < count)
             pid = _pid_to_int(pidf)
             carry = (jnp.where(h, tt, tmax), jnp.where(h, tt, t),
@@ -301,10 +314,10 @@ def _closest_kernel(o_ref, d_ref, t_ref, act_ref, nm_ref, po_ref, pb_ref,
         cur, sp, done, tmax, t, u, v, prim = carry
         pair = cur >> 1  # left child is always odd: pair row = (cur-1)/2
 
-        bl = _load_bounds(pb_ref, pair, 0)
-        br = _load_bounds(pb_ref, pair, 6)
-        hit_l = _slab(bl, inv, sc, tmax)
-        hit_r = _slab(br, inv, sc, tmax)
+        row_b = _load_pair_row(pb_ref, pair)
+        b = _bcast_lanes(row_b, range(12))
+        hit_l = _slab(b[0:6], inv, sc, tmax)
+        hit_r = _slab(b[6:12], inv, sc, tmax)
         any_l, any_r = _any_pair(hit_l, hit_r)
         meta_l = nm_ref[cur]
         meta_r = nm_ref[cur + 1]
@@ -360,8 +373,9 @@ def _anyhit_kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, nm_ref, po_ref,
         # through scf.if regions
         row = meta >> 4
         count = meta & 15
+        row_b = jnp.broadcast_to(lt_ref[pl.ds(row, 1), :], (SUBLANES, 128))
         for slot in range(MAX_LEAF):
-            h, _, _, _, pidf = _mt(lt_ref, row, slot, o, d, tmax)
+            h, _, _, _, pidf = _mt(row_b, slot, o, d, tmax)
             pid = _pid_to_int(pidf)
             occluded = occluded | (
                 h & (slot < count) & (pid != exclude)).astype(jnp.int32)
@@ -372,10 +386,10 @@ def _anyhit_kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, nm_ref, po_ref,
         live_tmax = jnp.where(occluded != 0, -BIG, tmax)
         pair = cur >> 1
 
-        bl = _load_bounds(pb_ref, pair, 0)
-        br = _load_bounds(pb_ref, pair, 6)
-        hit_l = _slab(bl, inv, sc, live_tmax)
-        hit_r = _slab(br, inv, sc, live_tmax)
+        row_b = _load_pair_row(pb_ref, pair)
+        b = _bcast_lanes(row_b, range(12))
+        hit_l = _slab(b[0:6], inv, sc, live_tmax)
+        hit_r = _slab(b[6:12], inv, sc, live_tmax)
         any_l, any_r = _any_pair(hit_l, hit_r)
         meta_l = nm_ref[cur]
         meta_r = nm_ref[cur + 1]

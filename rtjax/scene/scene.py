@@ -215,7 +215,12 @@ class SceneBuilder:
         tris = Triangles.from_vertices(p0[perm], p1[perm], p2[perm])
 
         tables = None
-        if max_leaf_size is not None and max_leaf_size <= 8:
+        # packet-kernel tables must fit VMEM (~128 MB on v5e); each node
+        # pair and each leaf costs one 512-byte row.  Oversized scenes fall
+        # back to the XLA traversal (or use instancing to share BLAS memory).
+        est_rows = res.num_nodes // 2 + res.num_nodes // 2 + 16
+        fits_vmem = est_rows * 512 < (100 << 20)
+        if max_leaf_size is not None and max_leaf_size <= 8 and fits_vmem:
             from ..kernels.pallas_traversal import build_scene_tables
             pp0, pp1, pp2 = p0[perm], p1[perm], p2[perm]
             te1 = pp0 - pp1
