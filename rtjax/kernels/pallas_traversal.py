@@ -183,13 +183,19 @@ def _ray_setup(o_ref, d_ref, t_ref, ti):
     return o, d_raw, inv, sc, t_ref[ti], octant
 
 
+# packed any() base: must exceed the max lane count of a tile or the right
+# count overflows into the left field (hit at SUBLANES=32)
+_PACK = 1 << 14
+assert TILE < _PACK
+
+
 def _any_pair(hit_l, hit_r):
     """Both any() flags with ONE vector->scalar crossing.
 
-    countR <= TILE < 4096, so the packed sum separates exactly.
+    countR <= TILE < _PACK, so the packed sum separates exactly.
     """
-    s = jnp.sum(hit_l.astype(jnp.int32) * 4096 + hit_r.astype(jnp.int32))
-    return s >= 4096, (s & 4095) > 0
+    s = jnp.sum(hit_l.astype(jnp.int32) * _PACK + hit_r.astype(jnp.int32))
+    return s >= _PACK, (s & (_PACK - 1)) > 0
 
 
 def _bcast_lanes(row_b, lanes):
