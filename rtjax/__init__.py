@@ -11,13 +11,14 @@ accumulation, ``shard_map`` scaling across chips).
 from .config import RenderConfig
 from .scene import (Camera, Mesh, Scene, SceneBuilder, Transform, load_ply,
                     rotate, scale, translate)
-from .render import render_frame, write_ppm
+from .render import render, render_frame, write_ppm
 from . import constants
 
 __version__ = "0.1.0"
 
 __all__ = [
     "RenderConfig", "Camera", "Mesh", "Scene", "SceneBuilder", "Transform",
-    "load_ply", "rotate", "scale", "translate", "render_frame", "write_ppm",
+    "load_ply", "rotate", "scale", "translate", "render", "render_frame",
+    "write_ppm",
     "constants",
 ]
