@@ -1,0 +1,90 @@
+"""Unit tests for the two-level trace layer (rtjax/render/trace.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtjax import Camera, RenderConfig, SceneBuilder, Transform
+from rtjax.render.trace import (gather_hit_geometry, resolve_mode,
+                                trace_anyhit, trace_closest)
+from rtjax.scene.transform import rotate, scale, translate
+
+
+def _inst_scene():
+    b = SceneBuilder()
+    white = b.make_matte((0.7, 0.7, 0.7))
+    red = b.make_matte((0.6, 0.1, 0.1))
+    # base floor at y=0
+    b.add_triangles([-5, 0, 5], [5, 0, 5], [5, 0, -5], white)
+    b.add_triangles([-5, 0, 5], [-5, 0, -5], [5, 0, -5], white)
+    b.add_area_light([-1, 4, -1], [1, 4, -1], [1, 4, 1], (5, 5, 5), white)
+    # a unit quad (two tris) at local z=0, instanced rotated+translated
+    v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], float)
+    f = np.array([[0, 1, 2], [0, 2, 3]])
+    mid = b.register_mesh(v, f)
+    t = Transform(rotate([0, 1, 0], np.pi / 2)).composite(
+        translate(2.0, 0.5, 0.0))
+    b.add_instance(mid, red, t)
+    return b.build(), t
+
+
+def test_trace_closest_hits_instance_in_world_space():
+    scene, t = _inst_scene()
+    cfg = RenderConfig()
+    mode, interp = resolve_mode(scene, cfg)
+    # ray aimed at the instanced quad: local (x,y,0) -> world after rot+T:
+    # rotation by +90deg about y maps local +x to world -z; quad spans
+    # world z in [0,-1], x = 2, y in [0.5, 1.5]
+    o = jnp.asarray([[4.0, 1.0, -0.5]], jnp.float32)
+    d = jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32)
+    hit, tt, u, v, prim, src = trace_closest(
+        scene, cfg, mode, interp, o, d, jnp.full(1, jnp.inf),
+        jnp.ones(1, bool))
+    assert bool(hit[0])
+    assert int(src[0]) == 1          # instance 1, not the base scene
+    np.testing.assert_allclose(float(tt[0]), 2.0, rtol=1e-4)
+
+    # same ray but higher: passes above the quad, hits nothing
+    o2 = jnp.asarray([[4.0, 2.0, -0.5]], jnp.float32)
+    hit2, *_ = trace_closest(scene, cfg, mode, interp, o2, d,
+                             jnp.full(1, jnp.inf), jnp.ones(1, bool))
+    assert not bool(hit2[0])
+
+
+def test_trace_anyhit_blocked_by_instance():
+    scene, _ = _inst_scene()
+    cfg = RenderConfig()
+    mode, interp = resolve_mode(scene, cfg)
+    o = jnp.asarray([[4.0, 1.0, -0.5]], jnp.float32)
+    d = jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32)
+    no_excl = jnp.full(1, -1, jnp.int32)
+    occ = trace_anyhit(scene, cfg, mode, interp, o, d,
+                       jnp.full(1, 10.0), no_excl, jnp.ones(1, bool))
+    assert bool(occ[0])
+    # shortened ray stops before the quad
+    occ2 = trace_anyhit(scene, cfg, mode, interp, o, d,
+                        jnp.full(1, 1.0), no_excl, jnp.ones(1, bool))
+    assert not bool(occ2[0])
+
+
+def test_gather_hit_geometry_world_transform():
+    scene, t = _inst_scene()
+    cfg = RenderConfig()
+    mode, interp = resolve_mode(scene, cfg)
+    o = jnp.asarray([[4.0, 1.0, -0.5]], jnp.float32)
+    d = jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32)
+    hit, tt, u, v, prim, src = trace_closest(
+        scene, cfg, mode, interp, o, d, jnp.full(1, jnp.inf),
+        jnp.ones(1, bool))
+    p0, e1, e2, n, mtype, albedo, ior = gather_hit_geometry(scene, src, prim)
+    # reconstructed hit point (p0 - u e1 + v e2) must equal ray point
+    p = np.asarray(p0 - u[:, None] * e1 + v[:, None] * e2)[0]
+    expect = np.asarray(o)[0] + float(tt[0]) * np.asarray(d)[0]
+    np.testing.assert_allclose(p, expect, atol=1e-4)
+    # world normal of the rotated quad faces +-x
+    nn = np.asarray(n)[0]
+    nn = nn / np.linalg.norm(nn)
+    assert abs(abs(nn[0]) - 1.0) < 1e-4
+    # per-instance material: red
+    np.testing.assert_allclose(np.asarray(albedo)[0], [0.6, 0.1, 0.1],
+                               atol=1e-6)
