@@ -1,0 +1,64 @@
+"""Image-metric unit tests + wavefront semantic edge cases."""
+
+import jax
+import numpy as np
+
+from rtjax import Camera, RenderConfig, SceneBuilder
+from rtjax.render import render_frame
+from rtjax.utils.compare import mse, psnr, ssim
+
+
+def test_metrics_identities(rng):
+    a = rng.random((32, 32, 3))
+    assert mse(a, a) == 0.0
+    assert psnr(a, a) == float("inf")
+    assert abs(ssim(a, a) - 1.0) < 1e-12
+    b = a + 0.1
+    assert mse(a, b) > 0
+    assert ssim(a, b) < 1.0
+
+
+def test_zero_bounces_is_direct_emission_only():
+    # max_bounces=0: the only contribution is bounce-0 emission
+    # (render.cuh:98-103); no NEE, no indirect light anywhere.
+    b = SceneBuilder()
+    white = b.make_matte((0.73, 0.73, 0.73))
+    # wall behind the light, lit only indirectly -> must stay black
+    b.add_triangles([-2, -2, -1], [2, -2, -1], [2, 2, -1], white)
+    b.add_triangles([-2, -2, -1], [-2, 2, -1], [2, 2, -1], white)
+    # emissive quad in front, radiance L = 4
+    b.add_area_light([-0.5, -0.5, 0], [0.5, -0.5, 0], [0.5, 0.5, 0],
+                     (4.0, 4.0, 4.0), white)
+    b.add_area_light([-0.5, -0.5, 0], [-0.5, 0.5, 0], [0.5, 0.5, 0],
+                     (4.0, 4.0, 4.0), white)
+    scene = b.build()
+    cam = Camera.make((0, 0, 3), (0, 0, 0), (0, 1, 0), 40, 1.0)
+    cfg = RenderConfig(width=16, height=16, num_samples=8, max_bounces=0,
+                       num_working_paths=1024)
+    fb, _ = render_frame(scene, cam, cfg, jax.random.key(1))
+    img = np.asarray(fb).reshape(16, 16, 3)
+    # center pixels see the emitter: sqrt(4) = 2 exactly (every sample hits)
+    np.testing.assert_allclose(img[7:9, 7:9], 2.0, atol=1e-5)
+    # corner pixels see the unlit wall: zero
+    np.testing.assert_allclose(img[0:2, 0:2], 0.0, atol=1e-6)
+
+
+def test_spp_scaling_reduces_variance():
+    b = SceneBuilder()
+    white = b.make_matte((0.73, 0.73, 0.73))
+    b.add_triangles([-2, 0, 2], [2, 0, 2], [2, 0, -2], white)
+    b.add_triangles([-2, 0, 2], [-2, 0, -2], [2, 0, -2], white)
+    b.add_area_light([-0.5, 2, -0.5], [0.5, 2, -0.5], [0.5, 2, 0.5],
+                     (8, 8, 8), white)
+    scene = b.build()
+    cam = Camera.make((0, 1.2, 2.5), (0, 0, 0), (0, 1, 0), 40, 1.0)
+
+    imgs = {}
+    for spp in (8, 64):
+        cfg = RenderConfig(width=16, height=16, num_samples=spp,
+                           max_bounces=3, num_working_paths=1024)
+        a, _ = render_frame(scene, cam, cfg, jax.random.key(1))
+        c, _ = render_frame(scene, cam, cfg, jax.random.key(2))
+        imgs[spp] = mse(np.asarray(a), np.asarray(c))
+    # inter-seed MSE must drop roughly linearly with spp
+    assert imgs[64] < imgs[8] / 3.0
