@@ -18,7 +18,10 @@ class RenderConfig:
     height: int = 600
     num_samples: int = 10          # spp (main.cu:169)
     max_bounces: int = 10          # (main.cu:170)
-    num_working_paths: int = constants.NUM_WORKING_PATHS
+    # pool size: the reference uses 2^20 (constant.hpp:8); 2^17 measures
+    # fastest on v5e (full-width stage math scales with the pool while
+    # sorted-dead traversal tiles are nearly free either way)
+    num_working_paths: int = 1 << 17
     rr_start: int = constants.RR_START
     rr_threshold: float = constants.RR_THRESHOLD
     seed: int = constants.RAND_SEED
