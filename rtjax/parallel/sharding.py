@@ -70,7 +70,7 @@ def render_frame_sharded(scene: Scene, camera: Camera, cfg: RenderConfig,
         mesh=mesh,
         in_specs=(P(), P(), P()),   # scene/camera/key replicated
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     fb_sum, stats = fn(scene, camera, key)
     # per-chip buffers are linear sample sums; normalize by TOTAL spp and
