@@ -1,0 +1,356 @@
+"""Microbenchmarks for traversal-kernel design decisions on real TPU.
+
+Measures the primitive costs that bound the packet traversal kernel
+(docs/PERF_NOTES.md): scalar step overhead, pair-row slab testing, lane
+broadcasts, packed reductions, leaf-visit MT variants (unrolled VPU vs MXU
+matmul), and layout conversion.
+
+The remote axon tunnel adds ~25 ms fixed overhead per dispatch, so every
+number is a two-point slope: run the same kernel with n and 4n in-kernel
+iterations and report (t_4n - t_n) / 3n.
+
+Usage: python benchmarks/micro_kernel.py [names...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUBLANES = 16
+BIG = 3.4e38
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/rtjax-jit-cache-tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _time(fn, *args, reps=3):
+    out = fn(*args)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0])  # sync
+    dt = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn(*args)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
+        dt = min(dt, time.time() - t0)
+    return dt
+
+
+def bench_slope(make_fn, n1=20_000, factor=4, reps=3):
+    """ns/iter via two-point slope (cancels dispatch + compile-cache noise)."""
+    f1, a1 = make_fn(n1)
+    f2, a2 = make_fn(n1 * factor)
+    t1 = _time(f1, *a1, reps=reps)
+    t2 = _time(f2, *a2, reps=reps)
+    return (t2 - t1) / (n1 * (factor - 1)) * 1e9
+
+
+def _smem_out_call(kernel, *operands, scratch=()):
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(operands),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
+        scratch_shapes=list(scratch),
+    )(*operands)
+
+
+def _slab(bb, inv, sc, tmax):
+    e0 = bb[0] * inv[0] + sc[0]
+    e1 = bb[1] * inv[1] + sc[1]
+    e2 = bb[2] * inv[2] + sc[2]
+    x0 = bb[3] * inv[0] + sc[0]
+    x1 = bb[4] * inv[1] + sc[1]
+    x2 = bb[5] * inv[2] + sc[2]
+    ent = jnp.maximum(jnp.maximum(jnp.minimum(e0, x0), jnp.minimum(e1, x1)),
+                      jnp.minimum(e2, x2))
+    ext = jnp.minimum(jnp.minimum(jnp.maximum(e0, x0), jnp.maximum(e1, x1)),
+                      jnp.maximum(e2, x2))
+    return (ent <= ext) & (ext >= 0.0) & (ent <= tmax)
+
+
+def _bcast(row_b, k):
+    return jnp.take_along_axis(row_b, jnp.full(row_b.shape, k, jnp.int32), 1)
+
+
+# ---------------------------------------------------------------- scalar walk
+def make_scalar_walk(n_iters):
+    def kernel(meta_ref, out_ref, stack_ref):
+        def body(carry):
+            cur, sp, acc, i = carry
+            meta = meta_ref[cur]
+            leaf = (meta & 15) > 0
+            nxt = (meta >> 4) % 1024
+            stack_ref[sp % 64] = cur
+            sp = jnp.where(leaf, sp + 1, jnp.maximum(sp - 1, 0))
+            popped = stack_ref[jnp.maximum(sp - 1, 0)]
+            cur = jnp.where(leaf, nxt, popped % 1024)
+            return cur, sp, acc + meta, i + 1
+
+        out = jax.lax.while_loop(lambda c: c[3] < n_iters, body,
+                                 (jnp.int32(0), jnp.int32(1), jnp.int32(0),
+                                  jnp.int32(0)))
+        out_ref[0] = out[2]
+
+    meta = jnp.arange(1024, dtype=jnp.int32)
+    f = jax.jit(lambda m: pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((64,), jnp.int32)],
+    )(m))
+    return f, (meta,)
+
+
+# ------------------------------------------------------------- slab steps
+def _make_slab_step(n_iters, n_children):
+    def kernel(pb_ref, o_ref, out_ref):
+        inv = tuple(o_ref[k] for k in range(3))
+        sc = tuple(o_ref[k + 3] for k in range(3))
+        tmax = o_ref[6]
+
+        def body(carry):
+            acc, i = carry
+            row = pb_ref[pl.ds(i % 1024, 1), :]
+            row_b = jnp.broadcast_to(row, (SUBLANES, 128))
+            b = tuple(_bcast(row_b, k) for k in range(6 * n_children))
+            hits = [_slab(b[6 * c:6 * c + 6], inv, sc, tmax)
+                    for c in range(n_children)]
+            if n_children <= 2:
+                s = jnp.sum(hits[0].astype(jnp.int32) * 16384
+                            + hits[-1].astype(jnp.int32))
+            else:
+                m0 = sum(hits[c].astype(jnp.int32) << (8 * c)
+                         for c in range(4))
+                m1 = sum(hits[c + 4].astype(jnp.int32) << (8 * c)
+                         for c in range(n_children - 4))
+                s = jnp.sum(m0) + jnp.sum(m1)
+            return acc + s, i + 1
+
+        out = jax.lax.while_loop(lambda c: c[1] < n_iters, body,
+                                 (jnp.int32(0), jnp.int32(0)))
+        out_ref[0] = out[0]
+
+    pb = jnp.asarray(np.random.rand(1024, 128), jnp.float32)
+    o = jnp.asarray(np.random.rand(7, SUBLANES, 128), jnp.float32)
+    f = jax.jit(lambda pb, o: _smem_out_call(kernel, pb, o))
+    return f, (pb, o)
+
+
+# ------------------------------------------------------------ leaf MT (VPU)
+def make_leaf_mt_vpu(n_iters, serialize=True):
+    """Current leaf visit: broadcast row + 8 unrolled MT tests.
+
+    serialize=True chains tmax through the 8 slots (current kernel);
+    False tests all 8 against the step-entry tmax then min-reduces.
+    """
+    PID_BASE = 96
+
+    def kernel(lt_ref, o_ref, out_ref):
+        o = tuple(o_ref[k] for k in range(3))
+        d = tuple(o_ref[k + 3] for k in range(3))
+
+        def body(carry):
+            tmax, t, prim, i = carry
+            row_b = jnp.broadcast_to(lt_ref[pl.ds(i % 1024, 1), :],
+                                     (SUBLANES, 128))
+            ref_tmax = tmax
+            for slot in range(8):
+                base = 12 * slot
+                lanes = list(range(base, base + 12)) + [PID_BASE + slot]
+                v = tuple(_bcast(row_b, k) for k in lanes)
+                (p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z,
+                 nx, ny, nz, pid) = v
+                cx = p0x - o[0]; cy = p0y - o[1]; cz = p0z - o[2]
+                rx = d[1] * cz - d[2] * cy
+                ry = d[2] * cx - d[0] * cz
+                rz = d[0] * cy - d[1] * cx
+                inv_det = 1.0 / (d[0] * nx + d[1] * ny + d[2] * nz)
+                u = inv_det * (e2x * rx + e2y * ry + e2z * rz)
+                vv = inv_det * (e1x * rx + e1y * ry + e1z * rz)
+                tt = inv_det * (cx * nx + cy * ny + cz * nz)
+                cmp = tmax if serialize else ref_tmax
+                h = (u >= 0.) & (vv >= 0.) & (u + vv <= 1.) & (tt > 0.) & \
+                    (tt <= cmp)
+                tmax = jnp.where(h & (tt < tmax), tt, tmax)
+                t = jnp.where(h & (tt <= t), tt, t)
+                prim = jnp.where(h & (tt <= t), pid.astype(jnp.int32), prim)
+            return tmax, t, prim, i + 1
+
+        init = (jnp.full((SUBLANES, 128), BIG, jnp.float32),
+                jnp.full((SUBLANES, 128), BIG, jnp.float32),
+                jnp.full((SUBLANES, 128), -1, jnp.int32), jnp.int32(0))
+        out = jax.lax.while_loop(lambda c: c[3] < n_iters, body, init)
+        out_ref[0] = jnp.sum(out[2])
+
+    lt = jnp.asarray(np.random.rand(1024, 128), jnp.float32)
+    o = jnp.asarray(np.random.rand(6, SUBLANES, 128), jnp.float32)
+    f = jax.jit(lambda lt, o: _smem_out_call(kernel, lt, o))
+    return f, (lt, o)
+
+
+# ------------------------------------------------------------ leaf MT (MXU)
+def make_leaf_mt_mxu(n_iters, n_out=32, dtype=jnp.float32):
+    """MXU leaf visit: A [n_out, 16] x F [16, 2048] matmul + accept math."""
+    def kernel(at_ref, f_ref, out_ref):
+        F = f_ref[:]  # [16, 2048]
+
+        def body(carry):
+            best, i = carry
+            A = at_ref[pl.ds((i % 512) * n_out, n_out), :]  # [n_out, 16]
+            out = jnp.dot(A, F, preferred_element_type=jnp.float32)
+            det = out[0:8]
+            un = out[8:16]
+            vn = out[16:24]
+            tn = out[24:32]
+            inv_det = 1.0 / det
+            u = un * inv_det
+            v = vn * inv_det
+            t = tn * inv_det
+            h = (u >= 0.) & (v >= 0.) & (u + v <= 1.) & (t > 0.) & (t < best)
+            tt = jnp.where(h, t, BIG)
+            best = jnp.minimum(best, jnp.min(tt, axis=0, keepdims=True))
+            return best, i + 1
+
+        init = (jnp.full((1, 2048), BIG, jnp.float32), jnp.int32(0))
+        out = jax.lax.while_loop(lambda c: c[1] < n_iters, body, init)
+        out_ref[:] = out[0]
+
+    at = jnp.asarray(np.random.rand(512 * n_out, 16), dtype)
+    fm = jnp.asarray(np.random.rand(16, 2048), dtype)
+    f = jax.jit(lambda at, fm: pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 2048), jnp.float32),
+    )(at, fm))
+    return f, (at, fm)
+
+
+# --------------------------------------------------------------- relayout
+def make_relayout(n_iters):
+    def kernel(x_ref, out_ref):
+        def body(carry):
+            acc, i = carry
+            y = (x_ref[:] + acc).reshape(1, 2048)
+            z = (y * 2.0).reshape(16, 128)
+            return jnp.sum(z) * 1e-9, i + 1
+
+        out = jax.lax.while_loop(lambda c: c[1] < n_iters, body,
+                                 (jnp.float32(0), jnp.int32(0)))
+        out_ref[0] = out[0]
+
+    x = jnp.asarray(np.random.rand(16, 128), jnp.float32)
+    f = jax.jit(lambda x: pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.float32),
+    )(x))
+    return f, (x,)
+
+
+# ------------------------------------------------------------------- clz
+def make_clz(n_iters):
+    def kernel(out_ref):
+        def body(carry):
+            acc, i = carry
+            x = (i * 40503) & 255
+            x = jnp.maximum(x, 1)
+            ctz = 31 - jax.lax.clz(x & -x)
+            hi = 31 - jax.lax.clz(x)
+            return acc + ctz + hi, i + 1
+
+        out = jax.lax.while_loop(lambda c: c[1] < n_iters, body,
+                                 (jnp.int32(0), jnp.int32(0)))
+        out_ref[0] = out[0]
+
+    f = jax.jit(lambda: pl.pallas_call(
+        kernel,
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
+    )())
+    return f, ()
+
+
+# -------------------------------------------------- standalone traversal
+def traversal_baseline(coherent=True, n=1 << 20):
+    from rtjax.scenes import cornell_bunny
+    from rtjax.kernels.pallas_traversal import pallas_traverse_closest
+    scene, camera = cornell_bunny()
+    rng = np.random.default_rng(0)
+    if coherent:
+        res = 1024
+        xs = ((np.arange(n) % res) + 0.5) / res
+        ys = ((np.arange(n) // res % res) + 0.5) / res
+        o, d = camera.get_rays(jnp.asarray(xs, jnp.float32),
+                               jnp.asarray(ys, jnp.float32))
+    else:
+        # random origins inside the Cornell box, random directions: every
+        # ray hits something (walls enclose the volume)
+        o = jnp.asarray(rng.uniform(-2.5, 2.5, (n, 3)) *
+                        np.array([1, 1, 1]) + np.array([0, 2.5, 0]),
+                        jnp.float32)
+        d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.full(n, np.inf, jnp.float32)
+    act = jnp.ones(n, bool)
+
+    f = jax.jit(lambda o, d: pallas_traverse_closest(
+        scene.tables, o, d, tmax, act))
+    half = n // 2
+    f2 = jax.jit(lambda o, d: pallas_traverse_closest(
+        scene.tables, o[:half], d[:half], tmax[:half], act[:half]))
+    t_full = _time(f, o, d)
+    t_half = _time(f2, o, d)
+    ns_per = (t_full - t_half) / (n - half) * 1e9
+    return 1000.0 / ns_per  # Mrays/s
+
+
+ALL = {
+    "scalar_walk": (make_scalar_walk, 200_000),
+    "slab_pair": (partial(_make_slab_step, n_children=2), 30_000),
+    "slab_wide4": (partial(_make_slab_step, n_children=4), 30_000),
+    "slab_wide8": (partial(_make_slab_step, n_children=8), 30_000),
+    "leaf_mt_vpu": (make_leaf_mt_vpu, 20_000),
+    "leaf_mt_vpu_par": (partial(make_leaf_mt_vpu, serialize=False), 20_000),
+    "leaf_mt_mxu_f32": (partial(make_leaf_mt_mxu, dtype=jnp.float32), 20_000),
+    "leaf_mt_mxu_bf16": (partial(make_leaf_mt_mxu, dtype=jnp.bfloat16),
+                         20_000),
+    "relayout": (make_relayout, 20_000),
+    "clz": (make_clz, 200_000),
+}
+
+
+def main():
+    names = sys.argv[1:] or list(ALL)
+    for name in names:
+        if name == "traverse_coherent":
+            print(f"traverse_coherent: {traversal_baseline(True):8.2f} "
+                  f"Mrays/s")
+            continue
+        if name == "traverse_incoherent":
+            print(f"traverse_incoherent: {traversal_baseline(False):8.2f} "
+                  f"Mrays/s")
+            continue
+        make_fn, n1 = ALL[name]
+        try:
+            ns = bench_slope(make_fn, n1)
+            print(f"{name}: {ns:8.1f} ns/iter")
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()
