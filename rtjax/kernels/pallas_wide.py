@@ -1,0 +1,673 @@
+"""Ray-BVH traversal — wide (BVH8) Pallas TPU packet kernel.
+
+Second-generation traversal engine replacing the binary packet kernel
+(pallas_traversal.py) on the hot path.  Same packet model — a tile of
+SUBLANES x 128 rays shares one traversal — but redesigned around the measured
+bottleneck (benchmarks/micro_kernel.py): a traversal step is bound by the
+~250 ns latency chain *slab -> vector->scalar reduction -> scalar descent ->
+dynamic row load*, not by vector work (an 8-child step costs barely more than
+a 2-child one).  Three structural changes attack that chain:
+
+1. **Wide nodes (BVH8).**  The binary sweep-SAH BVH (the parity build of
+   /root/reference/bvh.cuh:30-219) is collapsed into 8-wide nodes; one step
+   slab-tests 8 children, cutting steps/ray ~3x for near-free (+25% step
+   cost).  Descent uses a mask stack: one int32 entry packs (node,
+   remaining-children mask, order bit); children are build-time sorted along
+   the node's dominant axis and consumed with ctz/clz depending on the packet
+   octant's sign along that axis — an O(1)-per-step replacement for the
+   reference's per-ray entry-distance compare (bvh.cuh:284-290; any order is
+   exact, tmax prunes).
+2. **Deferred leaf visits.**  Leaf hits are appended to an SMEM queue and
+   drained in a separate pipelined loop (no vector scf regions inside the
+   walk): per-visit cost drops from serial latency (~350 ns) toward vector
+   throughput.  The walk's tmax refreshes at each drain, so pruning stays
+   within a QUEUE_CAP-leaf staleness window.
+3. **Interleaved walks, shared stack.**  NUM_WALKS independent cursors step
+   in one loop body; their latency chains overlap because the walk body is
+   branch-free vector code.  The shared SMEM stack doubles as a
+   work-stealing deque: an idle walk pops whatever any walk pushed, so load
+   balances and no packet waits on one deep subtree.
+
+Semantics preserved from the reference: exact Moeller-Trumbore accept rule +
+tmax shrinking (triangle.cuh:39-58), any-hit exclusion by triangle index with
+early exit (bvh.cuh:306-357).  Tie-breaks between equal-t hits may differ
+from the binary kernel (visit order differs); both match the reference's
+"first strictly-closer hit wins" semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..accel.bvh import BuildResult
+
+SUBLANES = 16
+TILE = SUBLANES * 128
+WIDTH = 8             # children per wide node
+MAX_LEAF = 8          # triangles per leaf row (96 floats + 8 ids = 104 lanes)
+PID_BASE = 12 * MAX_LEAF
+STACK_SIZE = 1024     # shared by all walks (generous; overflow faults SMEM)
+QUEUE_CAP = 24        # leaf visits buffered between drains (stale-tmax window)
+NUM_WALKS = 3
+# the cap check runs once per walk round; a round can append WIDTH per walk
+Q_ALLOC = QUEUE_CAP + NUM_WALKS * WIDTH
+BIG = 3.4e38
+IDLE = -1
+
+
+# ============================================================ host-side build
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class WideTables:
+    """Device tables for the wide packet kernel.
+
+    node_bounds [M, 128] f32: child c's (bmin, bmax) at lanes [6c, 6c+6);
+      empty slots are NaN boxes (every slab comparison is false).
+    child_meta [M * 8] i32 (SMEM): (value << 4) | count; count > 0 => leaf
+      (value = leaf row), count == 0 => internal (value = wide node index).
+    node_info [M] i32 (SMEM): (axis << 8) | leaf_mask — axis = dominant
+      child-sort axis (traversal-order hint), leaf_mask bit c set iff child c
+      is a leaf (or empty; empties never hit).
+    leaf_tris [L, 128] f32: MAX_LEAF triangles (p0,e1,e2,n — the reference's
+      edge-precomputed storage, triangle.cuh:6-7) + 8 prim ids as exact f32.
+    """
+
+    node_bounds: jax.Array
+    child_meta: jax.Array
+    node_info: jax.Array
+    leaf_tris: jax.Array
+
+    @property
+    def num_wide_nodes(self) -> int:
+        return self.node_bounds.shape[0]
+
+    @property
+    def num_leaf_rows(self) -> int:
+        return self.leaf_tris.shape[0]
+
+
+def _half_area(bmin, bmax):
+    d = np.maximum(bmax - bmin, 0)
+    return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
+
+
+def collapse_wide(bmin, bmax, left_first, num_prims, width=WIDTH):
+    """Collapse a binary BVH into wide nodes (host, numpy).
+
+    Greedy top-down: each wide node absorbs binary descendants by always
+    expanding the internal candidate with the largest surface area until
+    ``width`` children are reached (the standard BVH2->BVH8 collapse).
+
+    Returns ``(children, axes)``: ``children[i]`` is the list of
+    ``(bin_node, ref, is_leaf)`` per wide node i sorted along the dominant
+    axis, where ``ref`` is the wide node index (internal) or the binary node
+    id (leaf); ``axes[i]`` is the sort axis.
+    """
+    is_leaf = np.asarray(num_prims) > 0
+    if is_leaf[0]:
+        return [[(0, 0, True)]], [0]
+
+    children: list[list[tuple[int, int, bool]]] = []
+    axes: list[int] = []
+    pending: list[tuple[int, int]] = [(0, 0)]  # (binary node, wide index)
+    children.append(None)
+    axes.append(0)
+    while pending:
+        b, wi = pending.pop()
+        grp = [int(left_first[b]), int(left_first[b]) + 1]
+        while len(grp) < width:
+            best, best_a = -1, -1.0
+            for j, g in enumerate(grp):
+                if not is_leaf[g]:
+                    a = _half_area(bmin[g], bmax[g])
+                    if a > best_a:
+                        best, best_a = j, a
+            if best < 0:
+                break
+            g = grp.pop(best)
+            grp.extend((int(left_first[g]), int(left_first[g]) + 1))
+        cent = 0.5 * (bmin[grp] + bmax[grp])
+        axis = int(np.argmax(cent.max(0) - cent.min(0)))
+        grp = [grp[k] for k in np.argsort(cent[:, axis], kind="stable")]
+
+        entry = []
+        for g in grp:
+            if is_leaf[g]:
+                entry.append((g, g, True))
+            else:
+                ref = len(children)
+                children.append(None)
+                axes.append(0)
+                pending.append((g, ref))
+                entry.append((g, ref, False))
+        children[wi] = entry
+        axes[wi] = axis
+    return children, axes
+
+
+def pack_leaf_rows(leaves, left_first, num_prims, p0, e1, e2, n_vec,
+                   prim_ids=None):
+    """Pack binary-BVH leaves into [L, 128] rows: 8x12 triangle floats
+    (p0, e1, e2, n) + 8 prim ids stored as exact f32 values (< 2^24).
+    Short leaves pad with degenerate triangles (n = 0 never passes MT)."""
+    n_leaves = len(leaves)
+    tri_rows = np.zeros((max(n_leaves, 1), 128), np.float32)
+    pid_rows = np.full((max(n_leaves, 1), MAX_LEAF), -1, np.int32)
+    p0 = np.asarray(p0, np.float32)
+    e1 = np.asarray(e1, np.float32)
+    e2 = np.asarray(e2, np.float32)
+    n_vec = np.asarray(n_vec, np.float32)
+    if prim_ids is None:
+        prim_ids = np.arange(len(p0), dtype=np.int32)
+    assert len(p0) < (1 << 24), "prim ids must be exact as f32"
+
+    first = np.asarray(left_first)[leaves]
+    count = np.asarray(num_prims)[leaves]
+    assert count.max(initial=1) <= MAX_LEAF
+    for j in range(MAX_LEAF):
+        has = count > j
+        src = np.where(has, first + j, 0)
+        base = 12 * j
+        tri_rows[:n_leaves, base + 0:base + 3] = np.where(
+            has[:, None], p0[src], 0.0)
+        tri_rows[:n_leaves, base + 3:base + 6] = np.where(
+            has[:, None], e1[src], 0.0)
+        tri_rows[:n_leaves, base + 6:base + 9] = np.where(
+            has[:, None], e2[src], 0.0)
+        tri_rows[:n_leaves, base + 9:base + 12] = np.where(
+            has[:, None], n_vec[src], 0.0)
+        pid_rows[:n_leaves, j] = np.where(has, prim_ids[src], -1)
+    tri_rows[:, PID_BASE:PID_BASE + MAX_LEAF] = pid_rows.astype(np.float32)
+    return tri_rows
+
+
+def build_wide_tables(res: BuildResult, p0, e1, e2, n_vec,
+                      prim_ids=None) -> WideTables:
+    """Collapse a binary BuildResult + leaf-ordered triangles into wide
+    kernel tables."""
+    m = res.num_nodes
+    bmin = np.asarray(res.bmin[:m], np.float32)
+    bmax = np.asarray(res.bmax[:m], np.float32)
+    left_first = np.asarray(res.left_first[:m], np.int64)
+    num_prims = np.asarray(res.num_prims[:m], np.int64)
+
+    children, axes = collapse_wide(bmin, bmax, left_first, num_prims)
+    n_wide = len(children)
+
+    leaf_nodes = [g for grp in children for (g, _, lf) in grp if lf]
+    leaf_row_of = {g: i for i, g in enumerate(leaf_nodes)}
+    leaf_tris = pack_leaf_rows(np.asarray(leaf_nodes, np.int64), left_first,
+                               num_prims, p0, e1, e2, n_vec, prim_ids)
+
+    node_bounds = np.full((n_wide, 128), np.nan, np.float32)
+    child_meta = np.zeros((n_wide, WIDTH), np.int32)
+    node_info = np.zeros(n_wide, np.int32)
+    for i, grp in enumerate(children):
+        lm = 0
+        for c, (g, ref, lf) in enumerate(grp):
+            node_bounds[i, 6 * c:6 * c + 3] = bmin[g]
+            node_bounds[i, 6 * c + 3:6 * c + 6] = bmax[g]
+            if lf:
+                lm |= 1 << c
+                child_meta[i, c] = (leaf_row_of[g] << 4) | int(num_prims[g])
+            else:
+                child_meta[i, c] = ref << 4
+        for c in range(len(grp), WIDTH):
+            lm |= 1 << c  # empty: leaf-marked, count 0, NaN box never hits
+        node_info[i] = (axes[i] << 8) | lm
+
+    return WideTables(
+        node_bounds=jnp.asarray(node_bounds),
+        child_meta=jnp.asarray(child_meta.reshape(-1)),
+        node_info=jnp.asarray(node_info),
+        leaf_tris=jnp.asarray(leaf_tris),
+    )
+
+
+# ============================================================= device kernel
+
+def _ray_setup(o_ref, d_ref, t_ref, ti):
+    eps = float(np.finfo(np.float32).eps)
+    o = (o_ref[ti, 0], o_ref[ti, 1], o_ref[ti, 2])
+    d = (d_ref[ti, 0], d_ref[ti, 1], d_ref[ti, 2])
+    safe = tuple(jnp.where(jnp.abs(dk) < eps, jnp.copysign(eps, dk), dk)
+                 for dk in d)
+    inv = tuple(1.0 / dk for dk in safe)
+    sc = tuple(-ok * ik for ok, ik in zip(o, inv))
+    md = tuple(jnp.sum(dk) for dk in d)
+    octant = ((md[0] < 0).astype(jnp.int32)
+              | ((md[1] < 0).astype(jnp.int32) << 1)
+              | ((md[2] < 0).astype(jnp.int32) << 2))
+    return o, d, inv, sc, t_ref[ti], octant
+
+
+def _bcast_lanes(row_b, lanes):
+    """Lane-broadcast gathers: constant-index take_along_axis is a pure-VPU
+    lane shuffle (table reads stay off the saturated scalar unit)."""
+    return tuple(
+        jnp.take_along_axis(row_b, jnp.full(row_b.shape, k, jnp.int32),
+                            axis=1)
+        for k in lanes)
+
+
+def _slab(b, inv, sc, tmax):
+    e0 = b[0] * inv[0] + sc[0]
+    e1 = b[1] * inv[1] + sc[1]
+    e2 = b[2] * inv[2] + sc[2]
+    x0 = b[3] * inv[0] + sc[0]
+    x1 = b[4] * inv[1] + sc[1]
+    x2 = b[5] * inv[2] + sc[2]
+    entry = jnp.maximum(jnp.maximum(jnp.minimum(e0, x0), jnp.minimum(e1, x1)),
+                        jnp.minimum(e2, x2))
+    exit_ = jnp.minimum(jnp.minimum(jnp.maximum(e0, x0), jnp.maximum(e1, x1)),
+                        jnp.maximum(e2, x2))
+    return (entry <= exit_) & (exit_ >= 0.0) & (entry <= tmax)
+
+
+def _hit_mask8(hits):
+    """8 child-hit tiles -> one 8-bit scalar mask via 4 packed reductions
+    (two 16-bit count fields per int32; counts <= TILE < 2^15)."""
+    mask = jnp.int32(0)
+    for j in range(4):
+        s = jnp.sum(hits[2 * j].astype(jnp.int32) * 32768
+                    + hits[2 * j + 1].astype(jnp.int32))
+        mask = mask | ((s >= 32768).astype(jnp.int32) << (2 * j)) \
+                    | (((s & 32767) > 0).astype(jnp.int32) << (2 * j + 1))
+    return mask
+
+
+def _ctz(x):
+    return 31 - jax.lax.clz(x & -x)
+
+
+def _pick(mask, rev):
+    """Next child slot: lowest set bit, or highest when the packet octant
+    reverses the build-time axis order.  Caller guards mask == 0."""
+    safe = jnp.maximum(mask, 1)
+    return jnp.where(rev != 0, 31 - jax.lax.clz(safe), _ctz(safe))
+
+
+def _mt8(row_b, o, d, tmax):
+    """All 8 leaf-row MT tests vs the SAME tmax (no slot serialization);
+    returns the closest accepted hit per lane as (t, u, v, pid_f32), with
+    (BIG, 0, 0, -1) when none.  Exact reference accept rule
+    (triangle.cuh:39-58); padded slots have n = 0 => t = NaN => rejected."""
+    shape = tmax.shape
+    best_t = jnp.full(shape, BIG, jnp.float32)
+    best_u = jnp.zeros(shape, jnp.float32)
+    best_v = jnp.zeros(shape, jnp.float32)
+    best_p = jnp.full(shape, -1.0, jnp.float32)
+    for slot in range(MAX_LEAF):
+        base = 12 * slot
+        (p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z, nx, ny, nz, pid) = \
+            _bcast_lanes(row_b, list(range(base, base + 12))
+                         + [PID_BASE + slot])
+        cx = p0x - o[0]; cy = p0y - o[1]; cz = p0z - o[2]
+        rx = d[1] * cz - d[2] * cy
+        ry = d[2] * cx - d[0] * cz
+        rz = d[0] * cy - d[1] * cx
+        inv_det = 1.0 / (d[0] * nx + d[1] * ny + d[2] * nz)
+        u = inv_det * (e2x * rx + e2y * ry + e2z * rz)
+        v = inv_det * (e1x * rx + e1y * ry + e1z * rz)
+        t = inv_det * (cx * nx + cy * ny + cz * nz)
+        h = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0) & (t <= tmax)
+        closer = h & (t < best_t)
+        best_t = jnp.where(closer, t, best_t)
+        best_u = jnp.where(closer, u, best_u)
+        best_v = jnp.where(closer, v, best_v)
+        best_p = jnp.where(closer, pid, best_p)
+    return best_t, best_u, best_v, best_p
+
+
+def _mt8_any(row_b, o, d, tmax, exclude):
+    """Any accepted hit per lane across the 8 slots, excluding prim id
+    ``exclude`` (shadow-ray light exclusion, bvh.cuh:239-248)."""
+    hit_any = None
+    for slot in range(MAX_LEAF):
+        base = 12 * slot
+        (p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z, nx, ny, nz, pid) = \
+            _bcast_lanes(row_b, list(range(base, base + 12))
+                         + [PID_BASE + slot])
+        cx = p0x - o[0]; cy = p0y - o[1]; cz = p0z - o[2]
+        rx = d[1] * cz - d[2] * cy
+        ry = d[2] * cx - d[0] * cz
+        rz = d[0] * cy - d[1] * cx
+        inv_det = 1.0 / (d[0] * nx + d[1] * ny + d[2] * nz)
+        u = inv_det * (e2x * rx + e2y * ry + e2z * rz)
+        v = inv_det * (e1x * rx + e1y * ry + e1z * rz)
+        t = inv_det * (cx * nx + cy * ny + cz * nz)
+        h = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0) & \
+            (t <= tmax) & (pid.astype(jnp.int32) != exclude)
+        hit_any = h if hit_any is None else (hit_any | h)
+    return hit_any
+
+
+def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant):
+    """One branch-free step of one walk: slab 8 children of its cursor,
+    queue leaf hits, descend/push/pop on the shared stack.
+
+    An idle walk (cur == IDLE) executes the same vector code on node 0 with
+    its hit mask forced to 0, then steals from the shared stack (pop path).
+    Returns (new_cur, new_sp, new_qn).
+    """
+    nb_ref, cm_ref, ni_ref, stack_ref, q_ref = refs
+    active = cur != IDLE
+    node = jnp.maximum(cur, 0)
+
+    row = nb_ref[pl.ds(node, 1), :]
+    row_b = jnp.broadcast_to(row, (SUBLANES, 128))
+    b = _bcast_lanes(row_b, range(6 * WIDTH))
+    hits = [_slab(b[6 * c:6 * c + 6], inv, sc, tmax) for c in range(WIDTH)]
+    mask = jnp.where(active, _hit_mask8(hits), 0)
+
+    info = ni_ref[node]
+    lm = info & 255
+    axis = (info >> 8) & 3
+    rev = (octant >> axis) & 1
+    leaf_hits = mask & lm
+    int_hits = mask & ~lm & 255
+
+    # append leaf metas to the drain queue (scalar-only loop, trips 0..8)
+    def q_body(c2):
+        lh, q = c2
+        q_ref[q] = cm_ref[node * WIDTH + _ctz(lh)]
+        return lh & (lh - 1), q + 1
+
+    _, qn = jax.lax.while_loop(lambda c2: c2[0] != 0, q_body,
+                               (leaf_hits, qn))
+
+    # descend: nearest internal child continues, remainder pushed
+    has = int_hits != 0
+    first = _pick(int_hits, rev)
+    rest = int_hits & ~(1 << first)
+
+    @pl.when(has & (rest != 0))
+    def _():
+        stack_ref[sp] = (node << 9) | (rest << 1) | rev
+    sp = jnp.where(has & (rest != 0), sp + 1, sp)
+    nxt_direct = cm_ref[node * WIDTH + first] >> 4
+
+    # pop path (work stealing): take one child off the top entry, write the
+    # remainder back in place (or retire the entry)
+    can_pop = sp > 0
+    entry = stack_ref[jnp.maximum(sp - 1, 0)]
+    pnode = entry >> 9
+    pmask = (entry >> 1) & 255
+    prev = entry & 1
+    pfirst = _pick(pmask, prev)
+    prest = pmask & ~(1 << pfirst)
+    do_pop = ~has & can_pop
+
+    @pl.when(do_pop & (prest != 0))
+    def _():
+        stack_ref[sp - 1] = (pnode << 9) | (prest << 1) | prev
+    sp = jnp.where(do_pop & (prest == 0), sp - 1, sp)
+    nxt_pop = cm_ref[pnode * WIDTH + pfirst] >> 4
+
+    new_cur = jnp.where(has, nxt_direct,
+                        jnp.where(do_pop, nxt_pop, IDLE))
+    return new_cur, sp, qn
+
+
+def _alive(curs, sp):
+    alive = sp > 0
+    for cur in curs:
+        alive = alive | (cur != IDLE)
+    return alive
+
+
+def _closest_kernel(o_ref, d_ref, t_ref, act_ref, ni_ref, cm_ref, nb_ref,
+                    lt_ref, hit_ref, tout_ref, u_ref, v_ref, prim_ref,
+                    stack_ref, q_ref):
+  """Wide closest-hit: in-kernel tile loop (tables DMA'd once), per tile an
+  outer loop alternating walk chunks and leaf-queue drains."""
+  n_tiles = hit_ref.shape[0]
+
+  def tile_body(ti, _):
+    o, d, inv, sc, tmax0, octant = _ray_setup(o_ref, d_ref, t_ref, ti)
+    valid = act_ref[ti] != 0
+    tmax = jnp.where(valid, tmax0, -BIG)
+    any_valid = jnp.any(valid)
+
+    # the pop path reads stack_ref[max(sp-1, 0)] UNCONDITIONALLY (selects
+    # discard it when sp == 0); seed slot 0 so the speculative child_meta
+    # index derived from it is always in range (uninitialized SMEM would be
+    # an out-of-bounds scalar load => device fault)
+    stack_ref[0] = 0
+
+    refs = (nb_ref, cm_ref, ni_ref, stack_ref, q_ref)
+    curs0 = (jnp.where(any_valid, 0, IDLE),) + \
+        tuple(jnp.int32(IDLE) for _ in range(NUM_WALKS - 1))
+
+    def outer_cond(carry):
+        curs, sp, qn = carry[0], carry[1], carry[2]
+        return _alive(curs, sp) | (qn > 0)
+
+    def outer_body(carry):
+        curs, sp, qn, tmax, t, u, v, prim = carry
+
+        # walk chunk: step all walks until the queue nears capacity
+        def walk_cond(c2):
+            curs, sp, qn = c2
+            return _alive(curs, sp) & (qn <= QUEUE_CAP - WIDTH)
+
+        def walk_body(c2):
+            curs, sp, qn = c2
+            new = []
+            for w in range(NUM_WALKS):
+                cw, sp, qn = _walk_step(curs[w], sp, qn, tmax, refs, inv,
+                                        sc, octant)
+                new.append(cw)
+            return tuple(new), sp, qn
+
+        curs, sp, qn = jax.lax.while_loop(walk_cond, walk_body,
+                                          (curs, sp, qn))
+
+        # drain the leaf queue (pipelined vector loop)
+        def drain_body(c2):
+            qi, tmax, t, u, v, prim = c2
+            meta = q_ref[qi]
+            row_b = jnp.broadcast_to(lt_ref[pl.ds(meta >> 4, 1), :],
+                                     (SUBLANES, 128))
+            bt, bu, bv, bp = _mt8(row_b, o, d, tmax)
+            ok = (bp >= 0) & ((meta & 15) > 0)
+            tmax = jnp.where(ok, bt, tmax)
+            t = jnp.where(ok, bt, t)
+            u = jnp.where(ok, bu, u)
+            v = jnp.where(ok, bv, v)
+            prim = jnp.where(ok, bp.astype(jnp.int32), prim)
+            return qi + 1, tmax, t, u, v, prim
+
+        _, tmax, t, u, v, prim = jax.lax.while_loop(
+            lambda c2: c2[0] < qn, drain_body,
+            (jnp.int32(0), tmax, t, u, v, prim))
+        return curs, sp, jnp.int32(0), tmax, t, u, v, prim
+
+    init = (curs0, jnp.int32(0), jnp.int32(0), tmax,
+            jnp.full(tmax.shape, BIG, jnp.float32),
+            jnp.zeros_like(tmax), jnp.zeros_like(tmax),
+            jnp.full(tmax.shape, -1, jnp.int32))
+    out = jax.lax.while_loop(outer_cond, outer_body, init)
+    _, _, _, _, t, u, v, prim = out
+    hit = (prim >= 0) & valid
+    hit_ref[ti] = hit.astype(jnp.int32)
+    tout_ref[ti] = t
+    u_ref[ti] = u
+    v_ref[ti] = v
+    prim_ref[ti] = jnp.where(hit, prim, -1)
+    return 0
+
+  jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+
+def _anyhit_kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, ni_ref, cm_ref,
+                   nb_ref, lt_ref, occ_ref, stack_ref, q_ref):
+  """Wide any-hit with excluded prim id; early exit between drains once every
+  valid lane is occluded (bvh.cuh:318,328)."""
+  n_tiles = occ_ref.shape[0]
+
+  def tile_body(ti, _):
+    o, d, inv, sc, tmax0, octant = _ray_setup(o_ref, d_ref, t_ref, ti)
+    valid = act_ref[ti] != 0
+    exclude = ex_ref[ti]
+    tmax_all = jnp.where(valid, tmax0, -BIG)
+    any_valid = jnp.any(valid)
+
+    stack_ref[0] = 0  # see _closest_kernel: speculative pop reads slot 0
+
+    refs = (nb_ref, cm_ref, ni_ref, stack_ref, q_ref)
+    curs0 = (jnp.where(any_valid, 0, IDLE),) + \
+        tuple(jnp.int32(IDLE) for _ in range(NUM_WALKS - 1))
+
+    def outer_cond(carry):
+        curs, sp, qn, _, done = carry
+        return ~done & (_alive(curs, sp) | (qn > 0))
+
+    def outer_body(carry):
+        curs, sp, qn, occluded, done = carry
+        tmax = jnp.where(occluded != 0, -BIG, tmax_all)
+
+        def walk_cond(c2):
+            curs, sp, qn = c2
+            return _alive(curs, sp) & (qn <= QUEUE_CAP - WIDTH)
+
+        def walk_body(c2):
+            curs, sp, qn = c2
+            new = []
+            for w in range(NUM_WALKS):
+                cw, sp, qn = _walk_step(curs[w], sp, qn, tmax, refs, inv,
+                                        sc, octant)
+                new.append(cw)
+            return tuple(new), sp, qn
+
+        curs, sp, qn = jax.lax.while_loop(walk_cond, walk_body,
+                                          (curs, sp, qn))
+
+        def drain_body(c2):
+            qi, occluded = c2
+            meta = q_ref[qi]
+            row_b = jnp.broadcast_to(lt_ref[pl.ds(meta >> 4, 1), :],
+                                     (SUBLANES, 128))
+            h = _mt8_any(row_b, o, d, tmax, exclude) & ((meta & 15) > 0)
+            return qi + 1, occluded | h.astype(jnp.int32)
+
+        _, occluded = jax.lax.while_loop(lambda c2: c2[0] < qn, drain_body,
+                                         (jnp.int32(0), occluded))
+        done = jnp.all((occluded != 0) | ~valid)
+        return curs, sp, jnp.int32(0), occluded, done
+
+    init = (curs0, jnp.int32(0), jnp.int32(0),
+            jnp.zeros(tmax_all.shape, jnp.int32), ~any_valid)
+    out = jax.lax.while_loop(outer_cond, outer_body, init)
+    occ_ref[ti] = jnp.where((out[3] != 0) & valid, 1, 0)
+    return 0
+
+  jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+
+# ================================================================= wrappers
+
+def _to_tiles(x, n_tiles):
+    return x.T.reshape(3, n_tiles, SUBLANES, 128).transpose(1, 0, 2, 3)
+
+
+def _scalar_tiles(x, n_tiles):
+    return x.reshape(n_tiles, SUBLANES, 128)
+
+
+def _pad(x, n, fill):
+    if x.shape[0] == n:
+        return x
+    pad = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad, constant_values=fill)
+
+
+_VMEM = pl.BlockSpec(memory_space=pltpu.VMEM)
+_SMEM = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _vmem_limit(tables: WideTables, n_rays: int) -> int:
+    table_bytes = (tables.node_bounds.shape[0]
+                   + tables.leaf_tris.shape[0]) * 128 * 4
+    ray_bytes = n_rays * 4 * 14
+    return min(int((table_bytes + ray_bytes) * 1.25) + (4 << 20), 127 << 20)
+
+
+def _scratch():
+    return [pltpu.SMEM((STACK_SIZE,), jnp.int32),
+            pltpu.SMEM((Q_ALLOC,), jnp.int32)]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
+                          active, interpret: bool = False):
+    """Wide-BVH packet closest-hit traversal.
+
+    Same contract as traversal.traverse_closest: returns
+    ``(hit, t, u, v, prim)`` over ``[N]`` rays.
+    """
+    n = origin.shape[0]
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    n_tiles = n_pad // TILE
+
+    o = _to_tiles(_pad(origin, n_pad, 0.0), n_tiles)
+    d = _to_tiles(_pad(direction, n_pad, 1.0), n_tiles)
+    tm = _scalar_tiles(_pad(tmax, n_pad, 0.0), n_tiles)
+    act = _scalar_tiles(_pad(active.astype(jnp.int32), n_pad, 0), n_tiles)
+
+    shp = (n_tiles, SUBLANES, 128)
+    hit, t, u, v, prim = pl.pallas_call(
+        _closest_kernel,
+        in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _VMEM, _VMEM],
+        out_specs=[_VMEM] * 5,
+        out_shape=[jax.ShapeDtypeStruct(shp, jnp.int32),
+                   jax.ShapeDtypeStruct(shp, jnp.float32),
+                   jax.ShapeDtypeStruct(shp, jnp.float32),
+                   jax.ShapeDtypeStruct(shp, jnp.float32),
+                   jax.ShapeDtypeStruct(shp, jnp.int32)],
+        scratch_shapes=_scratch(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(tables, n_pad)),
+        interpret=interpret,
+    )(o, d, tm, act, tables.node_info, tables.child_meta,
+      tables.node_bounds, tables.leaf_tris)
+
+    flat = lambda a: a.reshape(n_pad)[:n]
+    return (flat(hit) != 0, flat(t), flat(u), flat(v), flat(prim))
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def wide_traverse_anyhit(tables: WideTables, origin, direction, tmax,
+                         exclude, active, interpret: bool = False):
+    """Wide-BVH packet any-hit traversal (occlusion with prim exclusion)."""
+    n = origin.shape[0]
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    n_tiles = n_pad // TILE
+
+    o = _to_tiles(_pad(origin, n_pad, 0.0), n_tiles)
+    d = _to_tiles(_pad(direction, n_pad, 1.0), n_tiles)
+    tm = _scalar_tiles(_pad(tmax, n_pad, 0.0), n_tiles)
+    act = _scalar_tiles(_pad(active.astype(jnp.int32), n_pad, 0), n_tiles)
+    ex = _scalar_tiles(_pad(exclude, n_pad, -1), n_tiles)
+
+    occ = pl.pallas_call(
+        _anyhit_kernel,
+        in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _VMEM,
+                  _VMEM],
+        out_specs=_VMEM,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, SUBLANES, 128), jnp.int32),
+        scratch_shapes=_scratch(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(tables, n_pad)),
+        interpret=interpret,
+    )(o, d, tm, act, ex, tables.node_info, tables.child_meta,
+      tables.node_bounds, tables.leaf_tris)
+    return occ.reshape(n_pad)[:n] != 0

@@ -17,8 +17,8 @@ import jax.numpy as jnp
 from ..accel.instancing import apply_affine_point, apply_affine_vector
 from ..core import vec
 from ..core.geometry import intersect_aabb, ray_slab_precompute
-from ..kernels.pallas_traversal import (pallas_traverse_anyhit,
-                                        pallas_traverse_closest)
+from ..kernels.pallas_wide import (wide_traverse_anyhit,
+                                   wide_traverse_closest)
 from ..kernels.traversal import traverse_anyhit, traverse_closest
 
 
@@ -35,8 +35,8 @@ def _backend(mode, interp, tables, bvh, tris, stack_size):
     if mode == "pallas":
         assert tables is not None, (
             "traversal='pallas' needs scenes built with max_leaf_size <= 8")
-        return (partial(pallas_traverse_closest, tables, interpret=interp),
-                partial(pallas_traverse_anyhit, tables, interpret=interp))
+        return (partial(wide_traverse_closest, tables, interpret=interp),
+                partial(wide_traverse_anyhit, tables, interpret=interp))
     return (partial(traverse_closest, bvh, tris, stack_size=stack_size),
             partial(traverse_anyhit, bvh, tris, stack_size=stack_size))
 

@@ -215,18 +215,19 @@ class SceneBuilder:
         tris = Triangles.from_vertices(p0[perm], p1[perm], p2[perm])
 
         tables = None
-        # packet-kernel tables must fit VMEM (~128 MB on v5e); each node
-        # pair and each leaf costs one 512-byte row.  Oversized scenes fall
-        # back to the XLA traversal (or use instancing to share BLAS memory).
-        est_rows = res.num_nodes // 2 + res.num_nodes // 2 + 16
+        # packet-kernel tables must fit VMEM (~128 MB on v5e); each wide
+        # node and each leaf costs one 512-byte row (leaves ~= nodes/2,
+        # wide nodes ~= leaves/7).  Oversized scenes fall back to the XLA
+        # traversal (or use instancing to share BLAS memory).
+        est_rows = res.num_nodes // 2 + res.num_nodes // 8 + 16
         fits_vmem = est_rows * 512 < (100 << 20)
         if max_leaf_size is not None and max_leaf_size <= 8 and fits_vmem:
-            from ..kernels.pallas_traversal import build_scene_tables
+            from ..kernels.pallas_wide import build_wide_tables
             pp0, pp1, pp2 = p0[perm], p1[perm], p2[perm]
             te1 = pp0 - pp1
             te2 = pp2 - pp0
-            tables = build_scene_tables(res, pp0, te1, te2,
-                                        np.cross(te1, te2))
+            tables = build_wide_tables(res, pp0, te1, te2,
+                                       np.cross(te1, te2))
 
         return Scene(
             tris=tris,
@@ -254,7 +255,7 @@ class SceneBuilder:
         from ..accel import build_bvh_best
         from ..accel.instancing import (InstanceTable, MeshBlas,
                                         instance_world_aabb)
-        from ..kernels.pallas_traversal import build_scene_tables
+        from ..kernels.pallas_wide import build_wide_tables
 
         blas = []
         local_bounds = []
@@ -275,8 +276,8 @@ class SceneBuilder:
             if max_leaf_size is not None and max_leaf_size <= 8:
                 pp0, pp1, pp2 = p0[perm], p1[perm], p2[perm]
                 te1, te2 = pp0 - pp1, pp2 - pp0
-                tables = build_scene_tables(res, pp0, te1, te2,
-                                            np.cross(te1, te2))
+                tables = build_wide_tables(res, pp0, te1, te2,
+                                           np.cross(te1, te2))
             blas.append(MeshBlas(tris=tris, bvh=res.to_device(),
                                  tables=tables))
             local_bounds.append((bmin.min(0), bmax.max(0)))

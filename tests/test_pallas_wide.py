@@ -1,0 +1,143 @@
+"""Wide (BVH8) Pallas packet traversal vs XLA traversal parity
+(interpret mode on CPU) + wide-table structural invariants."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtjax.accel import build_bvh_np
+from rtjax.core.geometry import Triangles
+from rtjax.kernels import traverse_anyhit, traverse_closest
+from rtjax.kernels.pallas_wide import (WIDTH, build_wide_tables,
+                                       collapse_wide, wide_traverse_anyhit,
+                                       wide_traverse_closest)
+
+from conftest import random_triangles
+
+
+def _pack(n_tris=300, max_leaf=8, seed=11):
+    rng = np.random.default_rng(seed)
+    p0, p1, p2 = random_triangles(rng, n_tris)
+    tris = Triangles.from_vertices(p0, p1, p2)
+    bmin, bmax = (np.asarray(b) for b in tris.bounds())
+    res = build_bvh_np(bmin, bmax, np.asarray(tris.center()),
+                       max_leaf_size=max_leaf)
+    perm = res.perm
+    ptris = Triangles(p0=tris.p0[perm], e1=tris.e1[perm], e2=tris.e2[perm],
+                      n=tris.n[perm])
+    tables = build_wide_tables(res, np.asarray(ptris.p0),
+                               np.asarray(ptris.e1), np.asarray(ptris.e2),
+                               np.asarray(ptris.n))
+    return res, ptris, tables
+
+
+@pytest.fixture(scope="module")
+def packed_scene():
+    return _pack()
+
+
+def _rays(n, seed=3):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return o, jnp.asarray(d)
+
+
+def test_collapse_invariants(packed_scene):
+    """Every binary leaf appears exactly once; internal refs are acyclic and
+    in range; empty slots are leaf-marked with NaN boxes."""
+    res, _, tables = packed_scene
+    nb = np.asarray(tables.node_bounds)
+    cm = np.asarray(tables.child_meta)
+    ni = np.asarray(tables.node_info)
+    m = nb.shape[0]
+
+    seen = np.zeros(m, bool)
+    stack = [0]
+    leaf_rows = []
+    while stack:
+        n_ = stack.pop()
+        assert not seen[n_], "wide node visited twice (cycle)"
+        seen[n_] = True
+        lm = ni[n_] & 255
+        for c in range(WIDTH):
+            meta = int(cm[n_ * WIDTH + c])
+            if (lm >> c) & 1:
+                if meta & 15:
+                    leaf_rows.append(meta >> 4)
+                else:  # empty slot: NaN box never hits
+                    assert np.isnan(nb[n_, 6 * c])
+            else:
+                ref = meta >> 4
+                assert 0 <= ref < m and ref != n_
+                stack.append(ref)
+    assert seen.all()
+    assert sorted(leaf_rows) == list(range(tables.leaf_tris.shape[0]))
+
+
+def test_wide_closest_matches_xla(packed_scene):
+    res, ptris, tables = packed_scene
+    bvh = res.to_device()
+    n = 2048 + 300  # one full tile + ragged remainder exercises padding
+    o, d = _rays(n)
+    tmax = jnp.full(n, jnp.inf)
+    active = jnp.asarray(np.random.default_rng(5).random(n) > 0.1)
+
+    hp, tp, up, vp, pp = wide_traverse_closest(tables, o, d, tmax, active,
+                                               interpret=True)
+    hx, tx, ux, vx, px = traverse_closest(bvh, ptris, o, d, tmax, active)
+    np.testing.assert_array_equal(np.asarray(hp), np.asarray(hx))
+    m = np.asarray(hp)
+    # rtol + atol: the two kernels contract FMAs differently, so t can
+    # differ by one ulp-ish on tiny hit distances (same prim, same hit)
+    np.testing.assert_allclose(np.asarray(tp)[m], np.asarray(tx)[m],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pp)[m], np.asarray(px)[m])
+    np.testing.assert_allclose(np.asarray(up)[m], np.asarray(ux)[m],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vp)[m], np.asarray(vx)[m],
+                               atol=1e-5)
+
+
+def test_wide_anyhit_matches_xla(packed_scene):
+    res, ptris, tables = packed_scene
+    bvh = res.to_device()
+    n = 2048
+    o, d = _rays(n, seed=7)
+    tmax = jnp.full(n, 1.5)
+    active = jnp.ones(n, bool)
+    # exclude a rotating triangle index to exercise the exclusion path
+    exclude = jnp.asarray(np.arange(n) % ptris.num, jnp.int32)
+
+    op = wide_traverse_anyhit(tables, o, d, tmax, exclude, active,
+                              interpret=True)
+    ox = traverse_anyhit(bvh, ptris, o, d, tmax, exclude, active)
+    np.testing.assert_array_equal(np.asarray(op), np.asarray(ox))
+
+
+def test_wide_leaf_root():
+    """A <=8 triangle scene collapses to a single leaf-root wide node."""
+    res, ptris, tables = _pack(n_tris=5, max_leaf=8, seed=2)
+    n = 512
+    o, d = _rays(n, seed=9)
+    tmax = jnp.full(n, jnp.inf)
+    active = jnp.ones(n, bool)
+    hp, tp, _, _, pp = wide_traverse_closest(tables, o, d, tmax, active,
+                                             interpret=True)
+    hx, tx, _, _, px = traverse_closest(res.to_device(), ptris, o, d, tmax,
+                                        active)
+    np.testing.assert_array_equal(np.asarray(hp), np.asarray(hx))
+    m = np.asarray(hp)
+    np.testing.assert_array_equal(np.asarray(pp)[m], np.asarray(px)[m])
+
+
+def test_wide_dead_lanes():
+    res, ptris, tables = _pack(n_tris=100, seed=4)
+    n = 600
+    o, d = _rays(n, seed=12)
+    tmax = jnp.full(n, jnp.inf)
+    active = jnp.zeros(n, bool)
+    hp, *_ = wide_traverse_closest(tables, o, d, tmax, active,
+                                   interpret=True)
+    assert not np.asarray(hp).any()
