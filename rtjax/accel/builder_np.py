@@ -87,11 +87,22 @@ def build_bvh(tri_bmin: np.ndarray, tri_bmax: np.ndarray,
 
     while True:
         count = end - begin
-        make_leaf = count <= min_leaf_size or depth >= max_depth
+        at_cap = depth >= max_depth
+        # at the depth cap, a range larger than max_leaf_size must still be
+        # split (median, below) — the packet kernels require bounded leaves
+        # and a degenerate scene can push 1|rest splits to the cap
+        make_leaf = count <= min_leaf_size or (
+            at_cap and (max_leaf_size is None or count <= max_leaf_size))
         best_axis = -1
         best_split = -1
 
-        if not make_leaf:
+        if not make_leaf and at_cap:
+            ext = [float(centers[sorted_refs[a, end - 1], a]
+                         - centers[sorted_refs[a, begin], a])
+                   for a in range(3)]
+            best_axis = int(np.argmax(ext))
+            best_split = begin + count // 2
+        elif not make_leaf:
             best_cost = np.inf
             for axis in range(3):
                 idx = sorted_refs[axis, begin:end]

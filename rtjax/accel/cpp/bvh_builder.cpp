@@ -45,6 +45,10 @@ inline void vmax(V3 &a, const V3 &b) {
     a.z = std::max(a.z, b.z);
 }
 
+inline float comp(const V3 &v, int axis) {
+    return axis == 0 ? v.x : (axis == 1 ? v.y : v.z);
+}
+
 struct Task {
     int32_t node;
     int64_t begin, end;
@@ -113,11 +117,27 @@ extern "C" int64_t rtjax_build_bvh(
 
     while (true) {
         const int64_t count = end - begin;
-        bool make_leaf = (count <= min_leaf_size) || (depth >= max_depth);
+        const bool at_cap = depth >= max_depth;
+        // at the depth cap an oversized range must still be split (median):
+        // bounded leaves are a hard kernel requirement (builder_np.py has
+        // the identical rule — keep the two builders bit-identical)
+        bool make_leaf = (count <= min_leaf_size) ||
+            (at_cap && (max_leaf_size <= 0 || count <= max_leaf_size));
         int best_axis = -1;
         int64_t best_split = -1;
 
-        if (!make_leaf) {
+        if (!make_leaf && at_cap) {
+            float best_ext = -FLT_MAX;
+            for (int a = 0; a < 3; a++) {
+                float ext = comp(ctr[refs[a][end - 1]], a)
+                            - comp(ctr[refs[a][begin]], a);
+                if (ext > best_ext) {
+                    best_ext = ext;
+                    best_axis = a;
+                }
+            }
+            best_split = begin + count / 2;
+        } else if (!make_leaf) {
             float best_cost = FLT_MAX;
             for (int axis = 0; axis < 3; axis++) {
                 const int64_t *idx = refs[axis].data() + begin;

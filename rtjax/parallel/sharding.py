@@ -39,14 +39,14 @@ def make_mesh(devices=None, axis_name: str = "chips") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def render_frame_sharded(scene: Scene, camera: Camera, cfg: RenderConfig,
-                         key, mesh: Mesh | None = None,
-                         axis_name: str = "chips"):
-    """Render one frame data-parallel across the mesh.
-
-    ``cfg.num_samples`` is the TOTAL spp; it must divide evenly by the mesh
-    size.  ``cfg.num_working_paths`` is the per-chip pool size.  Returns the
-    fully-reduced framebuffer (replicated) and per-chip stats.
+def render_frame_linear_sharded(scene: Scene, camera: Camera,
+                                cfg: RenderConfig, key,
+                                mesh: Mesh | None = None,
+                                axis_name: str = "chips"):
+    """Render one frame data-parallel across the mesh; returns the
+    all-reduced LINEAR sample-sum framebuffer (not normalized, no gamma)
+    plus stats.  ``cfg.num_samples`` is the TOTAL spp; it must divide evenly
+    by the mesh size.  ``cfg.num_working_paths`` is the per-chip pool size.
     """
     if mesh is None:
         mesh = make_mesh(axis_name=axis_name)
@@ -63,7 +63,10 @@ def render_frame_sharded(scene: Scene, camera: Camera, cfg: RenderConfig,
         # one all-reduce over ICI: sum of per-chip sample sums
         fb = jax.lax.psum(fb, axis_name)
         rays = jax.lax.psum(stats["rays_traced"], axis_name)
-        return fb, {"iterations": stats["iterations"], "rays_traced": rays}
+        # per-chip while_loop trip counts differ; report the slowest chip
+        # (a replicated out_spec would return an arbitrary shard's value)
+        iters = jax.lax.pmax(stats["iterations"], axis_name)
+        return fb, {"iterations": iters, "rays_traced": rays}
 
     fn = shard_map(
         partial(shard_fn),
@@ -72,7 +75,19 @@ def render_frame_sharded(scene: Scene, camera: Camera, cfg: RenderConfig,
         out_specs=(P(), P()),
         check_vma=False,
     )
-    fb_sum, stats = fn(scene, camera, key)
+    return fn(scene, camera, key)
+
+
+def render_frame_sharded(scene: Scene, camera: Camera, cfg: RenderConfig,
+                         key, mesh: Mesh | None = None,
+                         axis_name: str = "chips"):
+    """Render one frame data-parallel across the mesh.
+
+    Returns the fully-reduced, gamma-corrected framebuffer (replicated) and
+    stats; see :func:`render_frame_linear_sharded` for the spp contract.
+    """
+    fb_sum, stats = render_frame_linear_sharded(scene, camera, cfg, key,
+                                                mesh, axis_name)
     # per-chip buffers are linear sample sums; normalize by TOTAL spp and
     # apply the gamma-2 post-process exactly once (render.cuh:330-338)
     fb = jnp.sqrt(fb_sum / cfg.num_samples)

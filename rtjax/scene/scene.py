@@ -47,8 +47,8 @@ class Scene:
     lights: LightTable
     prim_material: jax.Array  # [P] int32
     prim_light: jax.Array     # [P] int32 (INVALID_INDEX if not emissive)
-    tables: object            # SceneTables for the Pallas packet kernels,
-                              # or None when max_leaf_size > 4
+    tables: object            # WideTables for the Pallas packet kernels, or
+                              # None when max_leaf_size > 8 / tables > VMEM
     env_radiance: jax.Array   # [3] constant environment radiance (the
                               # reference stubs this: light.cuh:66-68 and
                               # the TODOs at render.cuh:105,243,325)
@@ -229,6 +229,8 @@ class SceneBuilder:
             tables = build_wide_tables(res, pp0, te1, te2,
                                        np.cross(te1, te2))
 
+        instances, blas = self._build_instances(max_depth, max_leaf_size,
+                                                min_leaf_size, builder)
         return Scene(
             tris=tris,
             bvh=res.to_device(),
@@ -238,20 +240,21 @@ class SceneBuilder:
             prim_material=jnp.asarray(mat_idx[perm]),
             prim_light=jnp.asarray(prim_light[perm]),
             env_radiance=jnp.asarray(self._env, jnp.float32),
-            instances=self._build_instances(max_depth, max_leaf_size,
-                                            min_leaf_size, builder)[0],
-            blas=self._build_instances(max_depth, max_leaf_size,
-                                       min_leaf_size, builder)[1],
+            instances=instances,
+            blas=blas,
             num_lights=len(self._ltype),
         )
 
     def _build_instances(self, max_depth, max_leaf_size, min_leaf_size,
                          builder):
-        """Build shared BLAS + instance table (cached across the two calls)."""
+        """Build shared BLAS + instance table (memoized per build params)."""
         if not self._instances:
             return None, ()
-        if getattr(self, "_inst_cache", None) is not None:
-            return self._inst_cache
+        cache_key = (max_depth, max_leaf_size, min_leaf_size, builder,
+                     len(self._instances), len(self._blas_meshes))
+        cached = getattr(self, "_inst_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            return cached[1]
         from ..accel import build_bvh_best
         from ..accel.instancing import (InstanceTable, MeshBlas,
                                         instance_world_aabb)
@@ -273,7 +276,13 @@ class SceneBuilder:
             perm = res.perm
             tris = Triangles.from_vertices(p0[perm], p1[perm], p2[perm])
             tables = None
-            if max_leaf_size is not None and max_leaf_size <= 8:
+            # same VMEM-fit guard as the top-level tables (ADVICE r1): an
+            # oversized BLAS falls back to the XLA traversal instead of
+            # faulting at kernel launch
+            est_rows = res.num_nodes // 2 + res.num_nodes // 8 + 16
+            fits_vmem = est_rows * 512 < (100 << 20)
+            if (max_leaf_size is not None and max_leaf_size <= 8
+                    and fits_vmem):
                 pp0, pp1, pp2 = p0[perm], p1[perm], p2[perm]
                 te1, te2 = pp0 - pp1, pp2 - pp0
                 tables = build_wide_tables(res, pp0, te1, te2,
@@ -299,5 +308,5 @@ class SceneBuilder:
                               aabb_lo=jnp.asarray(lo), aabb_hi=jnp.asarray(hi),
                               material=jnp.asarray(mats),
                               mesh_id=tuple(mesh_ids))
-        self._inst_cache = (table, tuple(blas))
-        return self._inst_cache
+        self._inst_cache = (cache_key, (table, tuple(blas)))
+        return self._inst_cache[1]

@@ -44,3 +44,32 @@ def test_cpp_large_scene_fast(rng):
     dt = time.time() - t0
     assert res.num_nodes > 1
     assert dt < 30.0  # generous bound for slow CI hosts
+
+
+@pytest.mark.parametrize("build", ["np", "cpp"])
+def test_degenerate_scene_respects_max_leaf(build):
+    # 300 coincident triangles force SAH 1|rest splits to the depth cap;
+    # the builder must median-split past the cap rather than emit a leaf
+    # larger than max_leaf_size (ADVICE r1)
+    n = 300
+    p0 = np.tile(np.array([[0.0, 0.0, 0.0]], np.float32), (n, 1))
+    p1 = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (n, 1))
+    p2 = np.tile(np.array([[0.0, 1.0, 0.0]], np.float32), (n, 1))
+    bmin = np.minimum(np.minimum(p0, p1), p2)
+    bmax = np.maximum(np.maximum(p0, p1), p2)
+    ctr = ((p0 + p1 + p2) / 3).astype(np.float32)
+    fn = build_bvh_np if build == "np" else cpp.build_bvh
+    res = fn(bmin, bmax, ctr, max_depth=30, max_leaf_size=8, min_leaf_size=8)
+    m = res.num_nodes
+    leaf = res.num_prims[:m] > 0
+    assert res.num_prims[:m][leaf].max() <= 8
+    validate(res, bmin, bmax)
+
+    # and the two builders still agree bit-for-bit on this path
+    a = build_bvh_np(bmin, bmax, ctr, max_depth=30, max_leaf_size=8,
+                     min_leaf_size=8)
+    b = cpp.build_bvh(bmin, bmax, ctr, max_depth=30, max_leaf_size=8,
+                      min_leaf_size=8)
+    assert a.num_nodes == b.num_nodes
+    np.testing.assert_array_equal(a.perm, b.perm)
+    np.testing.assert_array_equal(a.num_prims[:m], b.num_prims[:m])
