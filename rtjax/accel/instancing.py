@@ -47,20 +47,25 @@ class MeshBlas:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["fwd", "inv", "aabb_lo", "aabb_hi", "material"],
+         data_fields=["fwd", "inv", "nrm", "aabb_lo", "aabb_hi", "material"],
          meta_fields=["mesh_id"])
 @dataclasses.dataclass(frozen=True)
 class InstanceTable:
     """SoA instance records.
 
     ``fwd``/``inv`` are 3x4 affine rows (rotation|translation) for local->
-    world and world->local; ``aabb_lo/hi`` are world-space instance bounds;
-    ``material`` is the per-instance material id; ``mesh_id`` is static
-    (drives which BLAS each instance uses at trace time).
+    world and world->local; ``nrm`` is the cofactor matrix det(M)*M^-T that
+    maps a local cross(e1,e2) normal to the world cross(M e1, M e2) —
+    preserving the reference's normal convention (triangle.cuh:7,19) without
+    gathering and transforming the edges; ``aabb_lo/hi`` are world-space
+    instance bounds; ``material`` is the per-instance material id;
+    ``mesh_id`` is static (drives which BLAS each instance uses at trace
+    time).
     """
 
     fwd: jax.Array       # [I, 3, 4]
     inv: jax.Array       # [I, 3, 4]
+    nrm: jax.Array       # [I, 3, 3] cofactor (normal transform)
     aabb_lo: jax.Array   # [I, 3]
     aabb_hi: jax.Array   # [I, 3]
     material: jax.Array  # [I] int32

@@ -25,7 +25,10 @@ def closest_brute(tris: Triangles, origin, direction, tmax, active):
         return hit, t[i], u[i], v[i], jnp.where(hit, i.astype(jnp.int32), -1)
 
     hit, t, u, v, prim = jax.vmap(one)(origin, direction, tmax)
-    return hit & active, t, u, v, prim
+    hit = hit & active
+    normal = jnp.where(hit[:, None], tris.n[jnp.clip(prim, 0, tris.num - 1)],
+                       0.0)
+    return hit, t, u, v, prim, normal
 
 
 @jax.jit

@@ -297,14 +297,19 @@ def _pick(mask, rev):
 
 def _mt8(row_b, o, d, tmax):
     """All 8 leaf-row MT tests vs the SAME tmax (no slot serialization);
-    returns the closest accepted hit per lane as (t, u, v, pid_f32), with
-    (BIG, 0, 0, -1) when none.  Exact reference accept rule
-    (triangle.cuh:39-58); padded slots have n = 0 => t = NaN => rejected."""
+    returns the closest accepted hit per lane as (t, u, v, pid_f32,
+    nx, ny, nz), with (BIG, 0, 0, -1, 0, 0, 0) when none.  The unnormalized
+    geometric normal rides along so the engine needs no triangle gather
+    after traversal.  Exact reference accept rule (triangle.cuh:39-58);
+    padded slots have n = 0 => t = NaN => rejected."""
     shape = tmax.shape
     best_t = jnp.full(shape, BIG, jnp.float32)
     best_u = jnp.zeros(shape, jnp.float32)
     best_v = jnp.zeros(shape, jnp.float32)
     best_p = jnp.full(shape, -1.0, jnp.float32)
+    best_nx = jnp.zeros(shape, jnp.float32)
+    best_ny = jnp.zeros(shape, jnp.float32)
+    best_nz = jnp.zeros(shape, jnp.float32)
     for slot in range(MAX_LEAF):
         base = 12 * slot
         (p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z, nx, ny, nz, pid) = \
@@ -324,7 +329,10 @@ def _mt8(row_b, o, d, tmax):
         best_u = jnp.where(closer, u, best_u)
         best_v = jnp.where(closer, v, best_v)
         best_p = jnp.where(closer, pid, best_p)
-    return best_t, best_u, best_v, best_p
+        best_nx = jnp.where(closer, nx, best_nx)
+        best_ny = jnp.where(closer, ny, best_ny)
+        best_nz = jnp.where(closer, nz, best_nz)
+    return best_t, best_u, best_v, best_p, best_nx, best_ny, best_nz
 
 
 def _mt8_any(row_b, o, d, tmax, exclude):
@@ -426,7 +434,7 @@ def _alive(curs, sp):
 
 def _closest_kernel(o_ref, d_ref, t_ref, act_ref, ni_ref, cm_ref, nb_ref,
                     lt_ref, hit_ref, tout_ref, u_ref, v_ref, prim_ref,
-                    stack_ref, q_ref):
+                    nx_ref, ny_ref, nz_ref, stack_ref, q_ref):
   """Wide closest-hit: in-kernel tile loop (tables DMA'd once), per tile an
   outer loop alternating walk chunks and leaf-queue drains."""
   n_tiles = hit_ref.shape[0]
@@ -452,7 +460,7 @@ def _closest_kernel(o_ref, d_ref, t_ref, act_ref, ni_ref, cm_ref, nb_ref,
         return _alive(curs, sp) | (qn > 0)
 
     def outer_body(carry):
-        curs, sp, qn, tmax, t, u, v, prim = carry
+        curs, sp, qn, tmax, t, u, v, prim, n3 = carry
 
         # walk chunk: step all walks until the queue nears capacity
         def walk_cond(c2):
@@ -473,36 +481,42 @@ def _closest_kernel(o_ref, d_ref, t_ref, act_ref, ni_ref, cm_ref, nb_ref,
 
         # drain the leaf queue (pipelined vector loop)
         def drain_body(c2):
-            qi, tmax, t, u, v, prim = c2
+            qi, tmax, t, u, v, prim, n3 = c2
             meta = q_ref[qi]
             row_b = jnp.broadcast_to(lt_ref[pl.ds(meta >> 4, 1), :],
                                      (SUBLANES, 128))
-            bt, bu, bv, bp = _mt8(row_b, o, d, tmax)
+            bt, bu, bv, bp, bnx, bny, bnz = _mt8(row_b, o, d, tmax)
             ok = (bp >= 0) & ((meta & 15) > 0)
             tmax = jnp.where(ok, bt, tmax)
             t = jnp.where(ok, bt, t)
             u = jnp.where(ok, bu, u)
             v = jnp.where(ok, bv, v)
             prim = jnp.where(ok, bp.astype(jnp.int32), prim)
-            return qi + 1, tmax, t, u, v, prim
+            n3 = tuple(jnp.where(ok, bn, n) for bn, n in
+                       zip((bnx, bny, bnz), n3))
+            return qi + 1, tmax, t, u, v, prim, n3
 
-        _, tmax, t, u, v, prim = jax.lax.while_loop(
+        _, tmax, t, u, v, prim, n3 = jax.lax.while_loop(
             lambda c2: c2[0] < qn, drain_body,
-            (jnp.int32(0), tmax, t, u, v, prim))
-        return curs, sp, jnp.int32(0), tmax, t, u, v, prim
+            (jnp.int32(0), tmax, t, u, v, prim, n3))
+        return curs, sp, jnp.int32(0), tmax, t, u, v, prim, n3
 
     init = (curs0, jnp.int32(0), jnp.int32(0), tmax,
             jnp.full(tmax.shape, BIG, jnp.float32),
             jnp.zeros_like(tmax), jnp.zeros_like(tmax),
-            jnp.full(tmax.shape, -1, jnp.int32))
+            jnp.full(tmax.shape, -1, jnp.int32),
+            (jnp.zeros_like(tmax),) * 3)
     out = jax.lax.while_loop(outer_cond, outer_body, init)
-    _, _, _, _, t, u, v, prim = out
+    _, _, _, _, t, u, v, prim, n3 = out
     hit = (prim >= 0) & valid
     hit_ref[ti] = hit.astype(jnp.int32)
     tout_ref[ti] = t
     u_ref[ti] = u
     v_ref[ti] = v
     prim_ref[ti] = jnp.where(hit, prim, -1)
+    nx_ref[ti] = n3[0]
+    ny_ref[ti] = n3[1]
+    nz_ref[ti] = n3[2]
     return 0
 
   jax.lax.fori_loop(0, n_tiles, tile_body, 0)
@@ -612,7 +626,9 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
     """Wide-BVH packet closest-hit traversal.
 
     Same contract as traversal.traverse_closest: returns
-    ``(hit, t, u, v, prim)`` over ``[N]`` rays.
+    ``(hit, t, u, v, prim, normal)`` over ``[N]`` rays, where ``normal``
+    ``[N, 3]`` is the hit triangle's unnormalized geometric normal
+    (cross(e1, e2), triangle.cuh:19) — zero on miss.
     """
     n = origin.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
@@ -624,15 +640,18 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
     act = _scalar_tiles(_pad(active.astype(jnp.int32), n_pad, 0), n_tiles)
 
     shp = (n_tiles, SUBLANES, 128)
-    hit, t, u, v, prim = pl.pallas_call(
+    hit, t, u, v, prim, nx, ny, nz = pl.pallas_call(
         _closest_kernel,
         in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _VMEM, _VMEM],
-        out_specs=[_VMEM] * 5,
+        out_specs=[_VMEM] * 8,
         out_shape=[jax.ShapeDtypeStruct(shp, jnp.int32),
                    jax.ShapeDtypeStruct(shp, jnp.float32),
                    jax.ShapeDtypeStruct(shp, jnp.float32),
                    jax.ShapeDtypeStruct(shp, jnp.float32),
-                   jax.ShapeDtypeStruct(shp, jnp.int32)],
+                   jax.ShapeDtypeStruct(shp, jnp.int32),
+                   jax.ShapeDtypeStruct(shp, jnp.float32),
+                   jax.ShapeDtypeStruct(shp, jnp.float32),
+                   jax.ShapeDtypeStruct(shp, jnp.float32)],
         scratch_shapes=_scratch(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(tables, n_pad)),
@@ -641,7 +660,8 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
       tables.node_bounds, tables.leaf_tris)
 
     flat = lambda a: a.reshape(n_pad)[:n]
-    return (flat(hit) != 0, flat(t), flat(u), flat(v), flat(prim))
+    normal = jnp.stack([flat(nx), flat(ny), flat(nz)], axis=-1)
+    return (flat(hit) != 0, flat(t), flat(u), flat(v), flat(prim), normal)
 
 
 @partial(jax.jit, static_argnames=("interpret",))

@@ -205,12 +205,17 @@ def traverse_closest(bvh: BvhArrays, tris: Triangles, origin, direction,
       tmax: ``[N]`` max distance.
       active: ``[N]`` bool; inactive lanes are skipped and return miss.
 
-    Returns ``(hit, t, u, v, prim)`` each ``[N]``; ``prim`` is the global
-    (leaf-order) triangle index or -1.
+    Returns ``(hit, t, u, v, prim, normal)``; ``prim`` is the global
+    (leaf-order) triangle index or -1, ``normal [N, 3]`` the hit triangle's
+    unnormalized geometric normal (zero on miss) — same contract as
+    pallas_wide.wide_traverse_closest.
     """
     fn = partial(_traverse_one_closest, bvh, tris, stack_size)
     hit, t, u, v, prim = jax.vmap(fn)(origin, direction, tmax, active)
-    return hit & active, t, u, v, prim
+    hit = hit & active
+    normal = jnp.where(hit[:, None],
+                       tris.n[jnp.clip(prim, 0, tris.num - 1)], 0.0)
+    return hit, t, u, v, prim, normal
 
 
 @partial(jax.jit, static_argnames=("stack_size",))

@@ -52,11 +52,14 @@ def _instance_mask(inst, k, o, d):
 def trace_closest(scene, cfg, mode, interp, o, d, tmax, active):
     """Closest hit over base scene + all instances.
 
-    Returns ``(hit, t, u, v, prim, src)``.
+    Returns ``(hit, t, u, v, prim, src, normal)``; ``normal [N, 3]`` is the
+    world-space unnormalized geometric normal of the hit triangle (the
+    reference's cross(e1, e2), triangle.cuh:19), straight from the traversal
+    kernel — no post-hoc triangle gather.
     """
     closest, _ = _backend(mode, interp, scene.tables, scene.bvh, scene.tris,
                           cfg.stack_size)
-    hit, t, u, v, prim = closest(o, d, tmax, active)
+    hit, t, u, v, prim, n_w = closest(o, d, tmax, active)
     t = jnp.where(hit, t, tmax)
     src = jnp.zeros_like(prim)
 
@@ -70,15 +73,18 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active):
             o_l = apply_affine_point(inst.inv[k], o)
             d_l = apply_affine_vector(inst.inv[k], d)  # NOT normalized:
             # preserves the ray parameter, so t compares in world units
-            h2, t2, u2, v2, p2 = c_k(o_l, d_l, t, m)
+            h2, t2, u2, v2, p2, n2 = c_k(o_l, d_l, t, m)
             closer = h2 & (t2 < t)
+            # cofactor transform = world cross of transformed edges
+            n2_w = jnp.einsum("ij,nj->ni", inst.nrm[k], n2)
             t = jnp.where(closer, t2, t)
             u = jnp.where(closer, u2, u)
             v = jnp.where(closer, v2, v)
             prim = jnp.where(closer, p2, prim)
             src = jnp.where(closer, k + 1, src)
+            n_w = jnp.where(closer[:, None], n2_w, n_w)
             hit = hit | closer
-    return hit, t, u, v, prim, src
+    return hit, t, u, v, prim, src, n_w
 
 
 def trace_anyhit(scene, cfg, mode, interp, o, d, tmax, exclude, active):
@@ -105,34 +111,19 @@ def trace_anyhit(scene, cfg, mode, interp, o, d, tmax, exclude, active):
     return occ
 
 
-def gather_hit_geometry(scene, src, prim):
-    """World-space triangle fields + material params for hits.
+def gather_hit_materials(scene, src, prim):
+    """Material params for hits: ``(mtype, albedo, ior)``.
 
-    Returns ``(p0, e1, e2, n, mtype, albedo, ior)``; instanced triangles are
-    transformed on the fly (normal re-crossed from transformed edges).
+    Hit *geometry* (position = o + t*d, normal) now comes straight from the
+    traversal (trace_closest), so the only per-hit table lookup left is one
+    [P] material-index gather plus the small-table material select.
     """
     prim_safe = jnp.clip(prim, 0, scene.tris.num - 1)
-    tri = scene.tris.gather(prim_safe)
-    p0, e1, e2, n_v = tri.p0, tri.e1, tri.e2, tri.n
     mat_idx = scene.prim_material[prim_safe]
 
     inst = getattr(scene, "instances", None)
     if inst is not None:
         for k in range(inst.num):
-            blas = scene.blas[inst.mesh_id[k]]
-            sel = (src == k + 1)
-            ps = jnp.clip(prim, 0, blas.tris.num - 1)
-            tk = blas.tris.gather(ps)
-            rows = inst.fwd[k]
-            p0k = apply_affine_point(rows, tk.p0)
-            e1k = apply_affine_vector(rows, tk.e1)
-            e2k = apply_affine_vector(rows, tk.e2)
-            s = sel[:, None]
-            p0 = jnp.where(s, p0k, p0)
-            e1 = jnp.where(s, e1k, e1)
-            e2 = jnp.where(s, e2k, e2)
-            n_v = jnp.where(s, jnp.cross(e1k, e2k), n_v)
-            mat_idx = jnp.where(sel, inst.material[k], mat_idx)
+            mat_idx = jnp.where(src == k + 1, inst.material[k], mat_idx)
 
-    mtype, albedo, ior = scene.materials.gather(mat_idx)
-    return p0, e1, e2, n_v, mtype, albedo, ior
+    return scene.materials.gather(mat_idx)

@@ -7,10 +7,18 @@ device->host count copies per bounce), then ``mat``/``gen`` shade and refill,
 and ``ah``/``ch`` traverse (SURVEY.md §2.1).
 
 Here the whole frame is ONE ``lax.while_loop`` on device:
-- queues + CUB compaction (render.cuh:348-364) are replaced by masks over the
-  full pool width — every stage is a batched masked function, and "compacted"
-  work simply rides predication (the TPU analog of wavefront compaction;
-  regeneration ranks come from a ``cumsum`` over the dead mask);
+- queues + CUB compaction (render.cuh:348-364) are replaced by ONE stable
+  multi-payload ``lax.sort`` of the entire path state per iteration
+  (sorting.sort_pytree_by_key): continuing paths cluster by BVH locality,
+  dead slots cluster at the back where they refill with *consecutive*
+  (coherent) camera rays, and fully-inactive lanes pool into packet tiles
+  that exit on their first step.  The state lives permanently in sorted
+  order — there is no inverse permutation, no per-array gathers (an XLA
+  [2^17] gather costs ~1 ms on v5e; the variadic sort moves all ~20
+  payload columns in about one);
+- hit geometry (t, world geometric normal) comes back FROM the traversal
+  kernels, so shading needs no triangle-table gathers at all; the hit
+  position is ray_o + t*ray_d;
 - framebuffer atomics (vec3.cuh:149-153) become deterministic scatter-adds;
 - the two host sync points per bounce (render.cuh:433-434,444-445) disappear:
   the loop condition is computed on device.
@@ -45,13 +53,14 @@ from ..constants import DEAD_BOUNCES, INVALID_INDEX
 from ..core import rng, vec
 from ..core.geometry import intersect_triangle, spawn_offset_ray
 from ..core.sampling import power_heuristic
-from .trace import (gather_hit_geometry, resolve_mode, trace_anyhit,
+from ..core.tables import take_rows
+from .trace import (gather_hit_materials, resolve_mode, trace_anyhit,
                     trace_closest)
 from ..scene.camera import Camera
-from ..scene.light import is_delta, pdf_li, sample_li
+from ..scene.light import gather_light, is_delta, pdf_li, sample_li
 from ..scene.material import get_f, is_specular, sample_f
 from ..scene.scene import Scene
-from .sorting import ray_sort_keys, ray_sort_keys_prim, sort_permutation
+from .sorting import ray_sort_keys, ray_sort_keys_prim, sort_pytree_by_key
 
 # RNG draw-site ids (one threefry sweep per site per iteration)
 _S_RR = 0
@@ -66,14 +75,21 @@ NUM_RNG_SITES = 16
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PathState:
-    """SoA path-ray payload (render.cuh:10-18), one entry per pool slot."""
+    """SoA path-ray payload (render.cuh:10-18), one entry per pool slot.
+
+    Unlike the reference's ``(u, v, primitive*)`` intersection record, the
+    slot carries the hit distance and the world-space geometric normal
+    straight from the traversal kernel — shading reconstructs the hit point
+    as ``ray_o + t*ray_d`` and never touches the triangle tables.
+    """
 
     pixel: jax.Array    # [N] int32
     ray_o: jax.Array    # [N, 3] float32
     ray_d: jax.Array    # [N, 3] float32
     hit: jax.Array      # [N] bool
-    u: jax.Array        # [N] float32 (barycentric)
-    v: jax.Array        # [N] float32
+    t: jax.Array        # [N] float32 hit distance (inf on miss)
+    normal: jax.Array   # [N, 3] float32 unnormalized geometric normal
+                        # (cross(e1, e2) in world space, triangle.cuh:19)
     prim: jax.Array     # [N] int32 (triangle index within src, -1 = none)
     src: jax.Array      # [N] int32 hit source: 0 = base scene, k = instance
     bounces: jax.Array  # [N] int32
@@ -93,8 +109,8 @@ def make_initial_state(n: int) -> PathState:
         ray_o=jnp.zeros((n, 3), jnp.float32),
         ray_d=jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (n, 1)),
         hit=jnp.zeros(n, bool),
-        u=jnp.zeros(n, jnp.float32),
-        v=jnp.zeros(n, jnp.float32),
+        t=jnp.full(n, jnp.inf, jnp.float32),
+        normal=jnp.zeros((n, 3), jnp.float32),
         prim=jnp.full(n, INVALID_INDEX, jnp.int32),
         src=jnp.zeros(n, jnp.int32),
         bounces=jnp.full(n, DEAD_BOUNCES, jnp.int32),
@@ -130,7 +146,10 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     t_closest = partial(trace_closest, scene, cfg, mode, interp)
     t_anyhit = partial(trace_anyhit, scene, cfg, mode, interp)
 
-    # all RNG sites of this iteration in one threefry sweep
+    # all RNG sites of this iteration in one threefry sweep.  Draws are
+    # slot-position-indexed; the state sort below re-seats paths between
+    # draw sites, which is statistically free (iid uniforms, each consumed
+    # once) and keeps the whole iteration a fixed-shape pipeline.
     _uniforms = rng.uniform_block(key, it, NUM_RNG_SITES, n)
     draw = lambda site: _uniforms[site]
 
@@ -140,7 +159,7 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     light_idx = jnp.where(state.src == 0, scene.prim_light[prim_safe],
                           INVALID_INDEX)
     emit0 = state.hit & (light_idx >= 0) & (state.bounces == 0)
-    emit_val = scene.lights.emit[jnp.maximum(light_idx, 0)]
+    emit_val = take_rows(scene.lights.emit, jnp.maximum(light_idx, 0))
     acc = _accum(state.acc, emit_val, emit0)
 
     # constant environment light on miss (the reference's unimplemented
@@ -161,16 +180,43 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
 
     bounces = state.bounces + 1
     mat_mask = alive & state.hit & ~rr_kill
+
+    # ---- sort: the iteration's ONE compaction step ------------------------
+    # Stable variadic sort of the whole pool by (continue?, BVH locality):
+    # continuing paths group into tree-coherent packet tiles, dead slots sink
+    # to the back where gen hands them consecutive camera-sample ids (and the
+    # slots past cam_end become contiguous all-inactive tiles).  All three
+    # traversals share this order — the shadow rays originate at the same hit
+    # points.  Replaces render.cuh:348-364's CUB queue compaction.
+    if cfg.sort_rays and mode == "pallas":
+        if cfg.sort_key == "prim":
+            keys = ray_sort_keys_prim(
+                jnp.where(mat_mask, state.prim, -1), state.ray_d, mat_mask)
+        else:
+            root_lo, root_hi = scene.bvh.bmin[0], scene.bvh.bmax[0]
+            hp = state.ray_o + state.t[:, None] * state.ray_d
+            hp = jnp.where(mat_mask[:, None], hp, 0.0)
+            keys = ray_sort_keys(hp, state.ray_d, root_lo, root_hi, mat_mask)
+        bundle = (state.pixel, state.ray_o, state.ray_d, state.t,
+                  state.normal, state.prim, state.src, bounces, beta, acc,
+                  mat_mask)
+        (pixel, ray_o_p, ray_d_p, t_p, normal, prim, src, bounces, beta, acc,
+         mat_mask) = sort_pytree_by_key(keys, bundle)
+    else:
+        pixel, ray_o_p, ray_d_p, t_p, normal, prim, src = (
+            state.pixel, state.ray_o, state.ray_d, state.t, state.normal,
+            state.prim, state.src)
     gen_mask = ~mat_mask
 
     # ---- mat: shading (render.cuh:139-248) --------------------------------
-    tp0, te1, te2, tn, mtype, albedo, ior = gather_hit_geometry(
-        scene, state.src, state.prim)
+    mtype, albedo, ior = gather_hit_materials(scene, src, prim)
     multiplier = beta * num_lights
-    # p(u, v) = p0 - u*e1 + v*e2 (triangle.cuh:15)
-    p = tp0 - state.u[:, None] * te1 + state.v[:, None] * te2
-    n_g = -vec.normalize(tn)  # geometric normal convention (render.cuh:153)
-    wo = state.ray_d
+    # hit point from the ray equation (the reference reconstructs it
+    # barycentrically, triangle.cuh:15; Wächter–Binder offsetting in
+    # spawn_offset_ray absorbs the equivalent rounding either way)
+    p = ray_o_p + jnp.where(mat_mask, t_p, 0.0)[:, None] * ray_d_p
+    n_g = -vec.normalize(normal)  # geometric normal (render.cuh:153)
+    wo = ray_d_p
 
     # (1) BSDF-sample the next path ray (render.cuh:158-171)
     f1, wi1, pdf1, n1 = sample_f(mtype, albedo, ior, wo, n_g,
@@ -186,11 +232,13 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         # uniform light pick (render.cuh:178-180)
         pick = jnp.minimum((draw(_S_LIGHT_PICK) * num_lights).astype(jnp.int32),
                            num_lights - 1)
-        delta = is_delta(scene.lights.ltype[pick])
+        l_type, _, l_emit, _, ltp0, lte1, lte2, ltn = gather_light(
+            scene.lights, pick)
+        delta = is_delta(l_type)
 
         # (2) light-sampling MIS -> AH shadow ray (render.cuh:183-210)
         wi_l, li, light_t, light_pdf, ltri = sample_li(
-            scene.lights, scene.tris, pick, p,
+            scene.lights, pick, p,
             draw(_S_LIGHT_UV), draw(_S_LIGHT_UV + 1))
         n_l = jnp.where(vec.dot(n_g, wi_l)[:, None] > 0.0, n_g, -n_g)
         got_f, f_l, scat_pdf = get_f(mtype, albedo, wo, wi_l, n_l)
@@ -206,20 +254,19 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
                                      draw(_S_BSDF2 + 2))
         f2c = f2 * vec.dot(wi2, n2)[:, None]
         spec = is_specular(mtype)
-        lpdf2 = pdf_li(scene.lights, scene.tris, pick, p, wi2)
+        lpdf2 = pdf_li(scene.lights, pick, p, wi2)
         w2 = jnp.where(spec, 1.0, power_heuristic(pdf2, lpdf2))
         chs_mask = mat_mask & ~delta & (spec | (lpdf2 > 0.0))
-        chs_L = multiplier * f2c * scene.lights.emit[pick] * \
-            (w2 / pdf2)[:, None]
+        chs_L = multiplier * f2c * l_emit * (w2 / pdf2)[:, None]
         chs_o, chs_d, _ = spawn_offset_ray(p, n2, wi2)
         # "closest hit == the picked light's triangle" (render.cuh:321, with
         # the target fixed to the light, see deviation 3)  <=>  the ray hits
         # that triangle at t_l AND nothing else hits with t <= t_l.  One
-        # direct MT test + an any-hit query replaces the expensive
-        # closest-hit traversal.
-        ltri_g = scene.tris.gather(jnp.maximum(ltri, 0))
+        # direct MT test (against the light table's embedded emitter
+        # triangle — no scene gather) + an any-hit query replaces the
+        # expensive closest-hit traversal.
         chs_hit_l, chs_t, _, _ = intersect_triangle(
-            chs_o, chs_d, jnp.inf, ltri_g.p0, ltri_g.e1, ltri_g.e2, ltri_g.n)
+            chs_o, chs_d, jnp.inf, ltp0, lte1, lte2, ltn)
         chs_mask = chs_mask & chs_hit_l
 
     # ---- gen: refill dead slots with camera rays (render.cuh:250-275) -----
@@ -237,63 +284,35 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     # deterministic scatter-add per iteration (replaces the reference's
     # three atomic-add channels, render.cuh:102,292,322)
     flush = jnp.where(gen_mask[:, None], acc, 0.0)
-    fb = fb.at[state.pixel].add(flush, mode="drop")
+    fb = fb.at[pixel].add(flush, mode="drop")
     acc = jnp.where(gen_mask[:, None], 0.0, acc)
 
     # merge mat-continued and regenerated rays into the path-ray pool
     m = mat_mask[:, None]
     g = got_ray[:, None]
-    ray_o = jnp.where(m, next_o, jnp.where(g, cam_o, state.ray_o))
-    ray_d = jnp.where(m, next_d, jnp.where(g, cam_d, state.ray_d))
-    pixel = jnp.where(got_ray, pix_new, state.pixel)
+    ray_o = jnp.where(m, next_o, jnp.where(g, cam_o, ray_o_p))
+    ray_d = jnp.where(m, next_d, jnp.where(g, cam_d, ray_d_p))
+    pixel = jnp.where(got_ray, pix_new, pixel)
     beta = jnp.where(m, next_beta, jnp.where(g, 1.0, beta))
     bounces = jnp.where(got_ray, 0, jnp.where(gen_mask, DEAD_BOUNCES, bounces))
 
     # ---- traversal (render.cuh:278-328) ------------------------------------
-    # rays sorted by (direction octant, origin Morton) so packet tiles stay
-    # coherent and dead lanes cluster into tiles that exit immediately — the
-    # packet-era equivalent of CUB compaction (render.cuh:348-364).  The
-    # shadow rays reuse the path-ray permutation: they share its origins
-    # (the current hit points), so one argsort covers all three traversals.
     trace_mask = mat_mask | got_ray
     inf = jnp.full(n, jnp.inf, jnp.float32)
-    do_sort = cfg.sort_rays and mode == "pallas"
-    if do_sort:
-        if cfg.sort_key == "prim":
-            src_prim = jnp.where(mat_mask, state.prim, -1)
-            keys = ray_sort_keys_prim(src_prim, ray_d, trace_mask)
-        else:
-            root_lo, root_hi = scene.bvh.bmin[0], scene.bvh.bmax[0]
-            keys = ray_sort_keys(ray_o, ray_d, root_lo, root_hi, trace_mask)
-        perm, invp = sort_permutation(keys)
-        hit, _, hu, hv, hprim, hsrc = t_closest(ray_o[perm], ray_d[perm], inf,
-                                                trace_mask[perm])
-        hit, hu, hv, hprim, hsrc = (hit[invp], hu[invp], hv[invp],
-                                    hprim[invp], hsrc[invp])
-    else:
-        hit, _, hu, hv, hprim, hsrc = t_closest(ray_o, ray_d, inf, trace_mask)
+    hit, ht, _, _, hprim, hsrc, hnrm = t_closest(ray_o, ray_d, inf, trace_mask)
 
     traced = jnp.sum(trace_mask, dtype=jnp.float32)
     if num_lights > 0:
-        if do_sort:
-            occluded = t_anyhit(ah_o[perm], ah_d[perm], ah_tmax[perm],
-                                ltri[perm], ah_mask[perm])[invp]
-        else:
-            occluded = t_anyhit(ah_o, ah_d, ah_tmax, ltri, ah_mask)
+        occluded = t_anyhit(ah_o, ah_d, ah_tmax, ltri, ah_mask)
         acc = _accum(acc, ah_L, ah_mask & ~occluded)
-
-        if do_sort:
-            blocked = t_anyhit(chs_o[perm], chs_d[perm], chs_t[perm],
-                               ltri[perm], chs_mask[perm])[invp]
-        else:
-            blocked = t_anyhit(chs_o, chs_d, chs_t, ltri, chs_mask)
+        blocked = t_anyhit(chs_o, chs_d, chs_t, ltri, chs_mask)
         acc = _accum(acc, chs_L, chs_mask & ~blocked)
         traced = traced + jnp.sum(ah_mask, dtype=jnp.float32) + \
             jnp.sum(chs_mask, dtype=jnp.float32)
 
     new_state = PathState(pixel=pixel, ray_o=ray_o, ray_d=ray_d, hit=hit,
-                          u=hu, v=hv, prim=hprim, src=hsrc, bounces=bounces,
-                          beta=beta, acc=acc)
+                          t=ht, normal=hnrm, prim=hprim, src=hsrc,
+                          bounces=bounces, beta=beta, acc=acc)
     work_left = jnp.any(trace_mask)
     occupancy = jnp.sum(trace_mask, dtype=jnp.float32) / n
     return (new_state, fb, cam_start + num_gen, it + 1, work_left,

@@ -18,6 +18,7 @@ from ..constants import INVALID_INDEX
 from ..core import vec
 from ..core.geometry import Triangles, intersect_triangle
 from ..core.sampling import sample_triangle_barycentric
+from ..core.tables import take_rows
 
 POINT_LIGHT = 0
 AREA_LIGHT = 1
@@ -30,32 +31,57 @@ class LightTable:
 
     ``emit`` holds I (point: radiant intensity) or L (area: radiance), the
     two union members.  ``tri`` is the global triangle index of an area
-    light's emitter (INVALID_INDEX for point lights).
+    light's emitter (INVALID_INDEX for point lights).  The emitter
+    triangle's fields (``tri_p0/e1/e2/n``) are embedded per light so NEE
+    never gathers from the full scene triangle tables (a [pool]-wide gather
+    is ~1 ms on v5e; a select over this table is ~10 us).
     """
 
-    ltype: jax.Array  # [L] int32
-    pos: jax.Array    # [L, 3] float32 (point)
-    emit: jax.Array   # [L, 3] float32 (I or L)
-    tri: jax.Array    # [L] int32 (area)
+    ltype: jax.Array   # [L] int32
+    pos: jax.Array     # [L, 3] float32 (point)
+    emit: jax.Array    # [L, 3] float32 (I or L)
+    tri: jax.Array     # [L] int32 (area)
+    tri_p0: jax.Array  # [L, 3] emitter triangle (edge-precomputed storage,
+    tri_e1: jax.Array  # [L, 3]  triangle.cuh:6-7; zero for point lights)
+    tri_e2: jax.Array  # [L, 3]
+    tri_n: jax.Array   # [L, 3]
 
     @property
     def num(self) -> int:
         return self.ltype.shape[0]
 
 
-def make_light_table(ltype, pos, emit, tri) -> LightTable:
+def make_light_table(ltype, pos, emit, tri, tris: Triangles | None = None
+                     ) -> LightTable:
+    """Build the device table; ``tris`` (leaf-ordered scene triangles)
+    supplies the embedded emitter-triangle fields for area lights."""
     n = max(len(ltype), 1)
     a_type = np.zeros(n, np.int32)
     a_pos = np.zeros((n, 3), np.float32)
     a_emit = np.zeros((n, 3), np.float32)
     a_tri = np.full(n, INVALID_INDEX, np.int32)
+    t_p0 = np.zeros((n, 3), np.float32)
+    t_e1 = np.zeros((n, 3), np.float32)
+    t_e2 = np.zeros((n, 3), np.float32)
+    t_n = np.zeros((n, 3), np.float32)
     if len(ltype):
         a_type[:len(ltype)] = ltype
         a_pos[:len(ltype)] = pos
         a_emit[:len(ltype)] = emit
         a_tri[:len(ltype)] = tri
+    if tris is not None:
+        p0 = np.asarray(tris.p0)
+        e1 = np.asarray(tris.e1)
+        e2 = np.asarray(tris.e2)
+        nv = np.asarray(tris.n)
+        for l, ti in enumerate(a_tri[:len(ltype)] if len(ltype) else []):
+            if ti != INVALID_INDEX:
+                t_p0[l], t_e1[l], t_e2[l], t_n[l] = \
+                    p0[ti], e1[ti], e2[ti], nv[ti]
     return LightTable(ltype=jnp.asarray(a_type), pos=jnp.asarray(a_pos),
-                      emit=jnp.asarray(a_emit), tri=jnp.asarray(a_tri))
+                      emit=jnp.asarray(a_emit), tri=jnp.asarray(a_tri),
+                      tri_p0=jnp.asarray(t_p0), tri_e1=jnp.asarray(t_e1),
+                      tri_e2=jnp.asarray(t_e2), tri_n=jnp.asarray(t_n))
 
 
 def is_delta(ltype):
@@ -63,7 +89,14 @@ def is_delta(ltype):
     return ltype == POINT_LIGHT
 
 
-def sample_li(lights: LightTable, tris: Triangles, pick, isect_p, u1, u2):
+def gather_light(lights: LightTable, pick):
+    """Per-ray light record via select chains (no HBM gathers)."""
+    return tuple(take_rows(t, pick) for t in
+                 (lights.ltype, lights.pos, lights.emit, lights.tri,
+                  lights.tri_p0, lights.tri_e1, lights.tri_e2, lights.tri_n))
+
+
+def sample_li(lights: LightTable, pick, isect_p, u1, u2):
     """Batched ``Light::sample_Li`` (light.cuh:29-48).
 
     Args:
@@ -75,10 +108,7 @@ def sample_li(lights: LightTable, tris: Triangles, pick, isect_p, u1, u2):
     light's triangle index (INVALID_INDEX for point lights).  The reference
     always returns true for both light types, so there is no valid mask.
     """
-    ltype = lights.ltype[pick]
-    pos = lights.pos[pick]
-    emit = lights.emit[pick]
-    ltri = lights.tri[pick]
+    ltype, pos, emit, ltri, tp0, te1, te2, tn = gather_light(lights, pick)
 
     # point light (light.cuh:31-37)
     to_l = pos - isect_p
@@ -87,17 +117,16 @@ def sample_li(lights: LightTable, tris: Triangles, pick, isect_p, u1, u2):
     li_pt = emit / (t_pt * t_pt)[..., None]
     pdf_pt = jnp.ones_like(t_pt)
 
-    # area light (light.cuh:38-47)
-    tri = tris.gather(jnp.maximum(ltri, 0))
+    # area light (light.cuh:38-47); p(u,v) = p0 - u*e1 + v*e2
     su, sv = sample_triangle_barycentric(u1, u2)
-    tri_p = tri.point(su, sv)
-    pdf_area = 1.0 / (0.5 * vec.length(tri.n))  # 1/area (triangle.cuh:78-79)
+    tri_p = tp0 - su[..., None] * te1 + sv[..., None] * te2
+    pdf_area = 1.0 / (0.5 * vec.length(tn))  # 1/area (triangle.cuh:78-79)
     to_a = tri_p - isect_p
     dist_sq = vec.length_squared(to_a)
     t_ar = jnp.sqrt(dist_sq)
     wi_ar = to_a / t_ar[..., None]
     # area->solid-angle pdf conversion with |cos| (double-sided emitter)
-    pdf_ar = pdf_area * dist_sq / vec.abs_dot(vec.normalize(tri.n), wi_ar)
+    pdf_ar = pdf_area * dist_sq / vec.abs_dot(vec.normalize(tn), wi_ar)
 
     is_pt = ltype == POINT_LIGHT
     unit_wi = jnp.where(is_pt[..., None], wi_pt, wi_ar)
@@ -107,20 +136,18 @@ def sample_li(lights: LightTable, tris: Triangles, pick, isect_p, u1, u2):
     return unit_wi, li, t, pdf, ltri
 
 
-def pdf_li(lights: LightTable, tris: Triangles, pick, isect_p, unit_wi):
+def pdf_li(lights: LightTable, pick, isect_p, unit_wi):
     """Batched ``Light::pdf_Li`` for BSDF-sampling MIS (light.cuh:50-64).
 
     Intersects the area light's triangle with the (infinite-tmax) ray from
     ``isect_p`` along ``unit_wi``; returns 0 for point lights and misses.
     """
-    ltype = lights.ltype[pick]
-    ltri = lights.tri[pick]
-    tri = tris.gather(jnp.maximum(ltri, 0))
+    ltype, _, _, _, tp0, te1, te2, tn = gather_light(lights, pick)
     hit, _, hu, hv = intersect_triangle(
-        isect_p, unit_wi, jnp.inf, tri.p0, tri.e1, tri.e2, tri.n)
-    lp = tri.point(hu, hv)
-    area = 0.5 * vec.length(tri.n)
+        isect_p, unit_wi, jnp.inf, tp0, te1, te2, tn)
+    lp = tp0 - hu[..., None] * te1 + hv[..., None] * te2
+    area = 0.5 * vec.length(tn)
     pdf = vec.length_squared(lp - isect_p) / (
-        area * vec.abs_dot(vec.normalize(tri.n), unit_wi))
+        area * vec.abs_dot(vec.normalize(tn), unit_wi))
     valid = (ltype == AREA_LIGHT) & hit
     return jnp.where(valid, pdf, 0.0)

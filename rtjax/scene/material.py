@@ -35,8 +35,14 @@ class MaterialTable:
     ior: jax.Array     # [M] float32 (glass)
 
     def gather(self, idx):
-        """Per-ray material params: ``(mtype, albedo, ior)``."""
-        return self.mtype[idx], self.albedo[idx], self.ior[idx]
+        """Per-ray material params: ``(mtype, albedo, ior)``.
+
+        Material tables are small, so this is a vector select chain rather
+        than an HBM gather (see core.tables).
+        """
+        from ..core.tables import take_rows
+        return (take_rows(self.mtype, idx), take_rows(self.albedo, idx),
+                take_rows(self.ior, idx))
 
 
 class MaterialBuilder:

@@ -236,7 +236,8 @@ class SceneBuilder:
             bvh=res.to_device(),
             tables=tables,
             materials=self.materials.build(),
-            lights=make_light_table(self._ltype, self._lpos, self._lemit, ltri),
+            lights=make_light_table(self._ltype, self._lpos, self._lemit,
+                                    ltri, tris),
             prim_material=jnp.asarray(mat_idx[perm]),
             prim_light=jnp.asarray(prim_light[perm]),
             env_radiance=jnp.asarray(self._env, jnp.float32),
@@ -294,17 +295,23 @@ class SceneBuilder:
         n_inst = len(self._instances)
         fwd = np.zeros((n_inst, 3, 4), np.float32)
         inv = np.zeros((n_inst, 3, 4), np.float32)
+        nrm = np.zeros((n_inst, 3, 3), np.float32)
         lo = np.zeros((n_inst, 3), np.float32)
         hi = np.zeros((n_inst, 3), np.float32)
         mats = np.zeros(n_inst, np.int32)
         mesh_ids = []
         for i, (mid, m, mat) in enumerate(self._instances):
             mesh_ids.append(mid)
-            fwd[i] = np.asarray(m, np.float64)[:3, :4]
-            inv[i] = np.linalg.inv(np.asarray(m, np.float64))[:3, :4]
+            m64 = np.asarray(m, np.float64)
+            fwd[i] = m64[:3, :4]
+            inv[i] = np.linalg.inv(m64)[:3, :4]
+            # cofactor: maps local cross(e1,e2) to world cross(Me1, Me2)
+            m3 = m64[:3, :3]
+            nrm[i] = np.linalg.det(m3) * np.linalg.inv(m3).T
             lo[i], hi[i] = instance_world_aabb(*local_bounds[mid], m)
             mats[i] = mat
         table = InstanceTable(fwd=jnp.asarray(fwd), inv=jnp.asarray(inv),
+                              nrm=jnp.asarray(nrm),
                               aabb_lo=jnp.asarray(lo), aabb_hi=jnp.asarray(hi),
                               material=jnp.asarray(mats),
                               mesh_id=tuple(mesh_ids))

@@ -63,9 +63,10 @@ def test_traversal_matches_brute_force(rng, n_tris, max_leaf):
     tmax = jnp.full(n_rays, jnp.inf)
     active = jnp.ones(n_rays, bool)
 
-    hit_b, t_b, u_b, v_b, prim_b = closest_brute(ptris, o, d, tmax, active)
-    hit_t, t_t, u_t, v_t, prim_t = traverse_closest(bvh, ptris, o, d, tmax,
-                                                    active)
+    hit_b, t_b, u_b, v_b, prim_b, n_b = closest_brute(ptris, o, d, tmax,
+                                                      active)
+    hit_t, t_t, u_t, v_t, prim_t, n_t = traverse_closest(bvh, ptris, o, d,
+                                                         tmax, active)
 
     np.testing.assert_array_equal(np.asarray(hit_b), np.asarray(hit_t))
     h = np.asarray(hit_b)

@@ -19,11 +19,10 @@ def _tris():
 
 def test_point_light_inverse_square():
     lights = make_light_table([POINT_LIGHT], [(0, 0, 3)], [(9, 9, 9)],
-                              [INVALID_INDEX])
-    tris = _tris()
+                              [INVALID_INDEX], _tris())
     p = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
     pick = jnp.zeros(1, jnp.int32)
-    wi, li, t, pdf, ltri = sample_li(lights, tris, pick, p,
+    wi, li, t, pdf, ltri = sample_li(lights, pick, p,
                                      jnp.asarray([0.5]), jnp.asarray([0.5]))
     np.testing.assert_allclose(np.asarray(wi)[0], [0, 0, 1], atol=1e-6)
     np.testing.assert_allclose(float(t[0]), 3.0, rtol=1e-6)
@@ -32,36 +31,36 @@ def test_point_light_inverse_square():
     assert int(ltri[0]) == INVALID_INDEX
     assert bool(is_delta(lights.ltype)[0])
     # pdf_Li for a point light is 0 (light.cuh:51-52)
-    assert float(pdf_li(lights, tris, pick, p, wi)[0]) == 0.0
+    assert float(pdf_li(lights, pick, p, wi)[0]) == 0.0
 
 
 def test_area_light_sample_pdf_consistency(rng):
     # pdf returned by sample_Li must equal pdf_Li evaluated at the sampled
     # direction (same point/footprint), light.cuh:38-64
-    lights = make_light_table([AREA_LIGHT], [(0, 0, 0)], [(5, 5, 5)], [0])
-    tris = _tris()
+    lights = make_light_table([AREA_LIGHT], [(0, 0, 0)], [(5, 5, 5)], [0],
+                              _tris())
     n = 4096
     p = jnp.asarray(np.tile([[0.2, 0.2, 0.0]], (n, 1)).astype(np.float32))
     pick = jnp.zeros(n, jnp.int32)
     u1 = jnp.asarray(rng.uniform(size=n).astype(np.float32))
     u2 = jnp.asarray(rng.uniform(size=n).astype(np.float32))
-    wi, li, t, pdf, ltri = sample_li(lights, tris, pick, p, u1, u2)
+    wi, li, t, pdf, ltri = sample_li(lights, pick, p, u1, u2)
     np.testing.assert_allclose(np.asarray(li), 5.0, rtol=1e-6)
     assert int(ltri[0]) == 0
-    pdf2 = pdf_li(lights, tris, pick, p, wi)
+    pdf2 = pdf_li(lights, pick, p, wi)
     np.testing.assert_allclose(np.asarray(pdf), np.asarray(pdf2), rtol=2e-3)
 
 
 def test_area_light_solid_angle_integral(rng):
     # MC estimate of the subtended solid angle: E[1/pdf] over samples
-    lights = make_light_table([AREA_LIGHT], [(0, 0, 0)], [(1, 1, 1)], [0])
-    tris = _tris()
+    lights = make_light_table([AREA_LIGHT], [(0, 0, 0)], [(1, 1, 1)], [0],
+                              _tris())
     n = 200000
     p = jnp.asarray(np.tile([[1 / 3, 1 / 3, 0.0]], (n, 1)).astype(np.float32))
     pick = jnp.zeros(n, jnp.int32)
     u1 = jnp.asarray(rng.uniform(size=n).astype(np.float32))
     u2 = jnp.asarray(rng.uniform(size=n).astype(np.float32))
-    _, _, _, pdf, _ = sample_li(lights, tris, pick, p, u1, u2)
+    _, _, _, pdf, _ = sample_li(lights, pick, p, u1, u2)
     omega_mc = float((1.0 / np.asarray(pdf)).mean())
     # brute numeric integration of the solid angle on a fine grid
     g = 400
@@ -82,11 +81,11 @@ def test_area_light_solid_angle_integral(rng):
 def test_mixed_light_table_batched_pick():
     lights = make_light_table([POINT_LIGHT, AREA_LIGHT],
                               [(0, 0, 3), (0, 0, 0)],
-                              [(9, 9, 9), (5, 5, 5)], [INVALID_INDEX, 0])
-    tris = _tris()
+                              [(9, 9, 9), (5, 5, 5)], [INVALID_INDEX, 0],
+                              _tris())
     p = jnp.zeros((2, 3), jnp.float32)
     pick = jnp.asarray([0, 1], jnp.int32)
-    wi, li, t, pdf, ltri = sample_li(lights, tris, pick, p,
+    wi, li, t, pdf, ltri = sample_li(lights, pick, p,
                                      jnp.asarray([0.3, 0.3]),
                                      jnp.asarray([0.4, 0.4]))
     assert int(ltri[0]) == INVALID_INDEX and int(ltri[1]) == 0

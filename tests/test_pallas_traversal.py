@@ -50,7 +50,7 @@ def test_pallas_closest_matches_xla(packed_scene):
 
     hp, tp, up, vp, pp = pallas_traverse_closest(tables, o, d, tmax, active,
                                                  interpret=True)
-    hx, tx, ux, vx, px = traverse_closest(bvh, ptris, o, d, tmax, active)
+    hx, tx, ux, vx, px, _ = traverse_closest(bvh, ptris, o, d, tmax, active)
     np.testing.assert_array_equal(np.asarray(hp), np.asarray(hx))
     m = np.asarray(hp)
     np.testing.assert_allclose(np.asarray(tp)[m], np.asarray(tx)[m],

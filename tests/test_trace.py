@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rtjax import Camera, RenderConfig, SceneBuilder, Transform
-from rtjax.render.trace import (gather_hit_geometry, resolve_mode,
+from rtjax.render.trace import (gather_hit_materials, resolve_mode,
                                 trace_anyhit, trace_closest)
 from rtjax.scene.transform import rotate, scale, translate
 
@@ -37,7 +37,7 @@ def test_trace_closest_hits_instance_in_world_space():
     # world z in [0,-1], x = 2, y in [0.5, 1.5]
     o = jnp.asarray([[4.0, 1.0, -0.5]], jnp.float32)
     d = jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32)
-    hit, tt, u, v, prim, src = trace_closest(
+    hit, tt, u, v, prim, src, nrm = trace_closest(
         scene, cfg, mode, interp, o, d, jnp.full(1, jnp.inf),
         jnp.ones(1, bool))
     assert bool(hit[0])
@@ -67,24 +67,74 @@ def test_trace_anyhit_blocked_by_instance():
     assert not bool(occ2[0])
 
 
-def test_gather_hit_geometry_world_transform():
+def test_trace_closest_world_normal_and_materials():
+    """The kernel-returned normal is transformed by the instance cofactor
+    matrix (== cross of the world-transformed edges); per-instance material
+    override applies."""
     scene, t = _inst_scene()
     cfg = RenderConfig()
     mode, interp = resolve_mode(scene, cfg)
     o = jnp.asarray([[4.0, 1.0, -0.5]], jnp.float32)
     d = jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32)
-    hit, tt, u, v, prim, src = trace_closest(
+    hit, tt, u, v, prim, src, nrm = trace_closest(
         scene, cfg, mode, interp, o, d, jnp.full(1, jnp.inf),
         jnp.ones(1, bool))
-    p0, e1, e2, n, mtype, albedo, ior = gather_hit_geometry(scene, src, prim)
-    # reconstructed hit point (p0 - u e1 + v e2) must equal ray point
-    p = np.asarray(p0 - u[:, None] * e1 + v[:, None] * e2)[0]
-    expect = np.asarray(o)[0] + float(tt[0]) * np.asarray(d)[0]
-    np.testing.assert_allclose(p, expect, atol=1e-4)
+    assert bool(hit[0])
     # world normal of the rotated quad faces +-x
-    nn = np.asarray(n)[0]
+    nn = np.asarray(nrm)[0]
     nn = nn / np.linalg.norm(nn)
     assert abs(abs(nn[0]) - 1.0) < 1e-4
     # per-instance material: red
+    mtype, albedo, ior = gather_hit_materials(scene, src, prim)
     np.testing.assert_allclose(np.asarray(albedo)[0], [0.6, 0.1, 0.1],
                                atol=1e-6)
+
+    # a base-scene hit (the floor) returns the stored cross(e1, e2) and the
+    # base material
+    o2 = jnp.asarray([[0.0, 3.0, 0.0]], jnp.float32)
+    d2 = jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32)
+    hit2, tt2, _, _, prim2, src2, nrm2 = trace_closest(
+        scene, cfg, mode, interp, o2, d2, jnp.full(1, jnp.inf),
+        jnp.ones(1, bool))
+    assert bool(hit2[0]) and int(src2[0]) == 0
+    n2 = np.asarray(nrm2)[0]
+    n2 = n2 / np.linalg.norm(n2)
+    assert abs(abs(n2[1]) - 1.0) < 1e-5
+    _, alb2, _ = gather_hit_materials(scene, src2, prim2)
+    np.testing.assert_allclose(np.asarray(alb2)[0], [0.7, 0.7, 0.7],
+                               atol=1e-6)
+
+
+def test_instance_normal_nonuniform_scale():
+    """Non-uniform scaling: the cofactor transform must keep the normal
+    perpendicular to the world-space surface (a plain rotation of the local
+    normal would not)."""
+    b = SceneBuilder()
+    red = b.make_matte((0.6, 0.1, 0.1))
+    white = b.make_matte((0.7, 0.7, 0.7))
+    b.add_area_light([-1, 4, -1], [1, 4, -1], [1, 4, 1], (5, 5, 5), white)
+    # a unit quad in the local x-y plane, tilted 45deg about x then scaled
+    # non-uniformly: world surface spans (x, diag(y,z)) with modified slope
+    v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], float)
+    f = np.array([[0, 1, 2], [0, 2, 3]])
+    mid = b.register_mesh(v, f)
+    t = Transform(rotate([1, 0, 0], np.pi / 4)).composite(
+        scale(1.0, 3.0, 1.0))
+    b.add_instance(mid, red, t)
+    scene = b.build()
+    cfg = RenderConfig()
+    mode, interp = resolve_mode(scene, cfg)
+    o = jnp.asarray([[0.5, 0.2, 5.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    hit, tt, _, _, prim, src, nrm = trace_closest(
+        scene, cfg, mode, interp, o, d, jnp.full(1, jnp.inf),
+        jnp.ones(1, bool))
+    assert bool(hit[0]) and int(src[0]) == 1
+    # two world-space surface tangents of the transformed quad
+    m = np.asarray(t.matrix, np.float64)[:3, :3]
+    tan1 = m @ np.array([1.0, 0.0, 0.0])
+    tan2 = m @ np.array([0.0, 1.0, 0.0])
+    nn = np.asarray(nrm, np.float64)[0]
+    nn = nn / np.linalg.norm(nn)
+    assert abs(np.dot(nn, tan1)) < 1e-5
+    assert abs(np.dot(nn, tan2)) < 1e-5
