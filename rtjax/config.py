@@ -37,6 +37,13 @@ class RenderConfig:
     # upper bound on wavefront iterations (safety net for the while_loop);
     # None derives it from the workload.
     max_iterations: int | None = None
+    # replicate the reference's three estimator-visible quirks (all fixed by
+    # default, see render/wavefront.py docstring): the int-truncated
+    # power_heuristic g_pdf (utility.cuh:53), the Russian-roulette re-roll
+    # limbo (render.cuh:117-119,128-136), and the BSDF-MIS shadow ray
+    # targeting the surface's own triangle (render.cuh:236).  Used to
+    # quantify the fixed estimator's delta vs the CUDA binary's output.
+    reference_parity: bool = False
 
     @property
     def num_pixels(self) -> int:

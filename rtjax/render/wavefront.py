@@ -38,6 +38,11 @@ file:line, none visible statistically):
    standing on instead (render.cuh:236), which silently zeroes nearly the
    whole BSDF-MIS channel; that is a bug, fixed here.
 4. ``power_heuristic`` takes float pdfs (utility.cuh:53 truncates one to int).
+
+Deviations 2-4 change the estimator's expectation; ``RenderConfig(
+reference_parity=True)`` replicates all three exactly, so the fixed and the
+reference estimators can be rendered side by side and their delta published
+(BASELINE.md).  Deviation 1 is schedule-only and radiance-neutral either way.
 """
 
 from __future__ import annotations
@@ -180,6 +185,12 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
 
     bounces = state.bounces + 1
     mat_mask = alive & state.hit & ~rr_kill
+    # reference RR quirk (render.cuh:117-119,128-136): a killed path is
+    # routed to NEITHER queue — its payload keeps hit=true, so every later
+    # init re-rolls RR (fresh uniform, same p) until it survives (beta then
+    # scaled) or its still-incrementing bounce counter exceeds max_bounces.
+    # Such "limbo" slots idle: they neither shade, trace, nor regenerate.
+    limbo = rr_kill if cfg.reference_parity else jnp.zeros_like(rr_kill)
 
     # ---- sort: the iteration's ONE compaction step ------------------------
     # Stable variadic sort of the whole pool by (continue?, BVH locality):
@@ -199,14 +210,16 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
             keys = ray_sort_keys(hp, state.ray_d, root_lo, root_hi, mat_mask)
         bundle = (state.pixel, state.ray_o, state.ray_d, state.t,
                   state.normal, state.prim, state.src, bounces, beta, acc,
-                  mat_mask)
+                  mat_mask) + ((limbo,) if cfg.reference_parity else ())
         (pixel, ray_o_p, ray_d_p, t_p, normal, prim, src, bounces, beta, acc,
-         mat_mask) = sort_pytree_by_key(keys, bundle)
+         mat_mask, *rest) = sort_pytree_by_key(keys, bundle)
+        if cfg.reference_parity:
+            limbo = rest[0]
     else:
         pixel, ray_o_p, ray_d_p, t_p, normal, prim, src = (
             state.pixel, state.ray_o, state.ray_d, state.t, state.normal,
             state.prim, state.src)
-    gen_mask = ~mat_mask
+    gen_mask = ~mat_mask & ~limbo if cfg.reference_parity else ~mat_mask
 
     # ---- mat: shading (render.cuh:139-248) --------------------------------
     mtype, albedo, ior = gather_hit_materials(scene, src, prim)
@@ -243,7 +256,10 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         n_l = jnp.where(vec.dot(n_g, wi_l)[:, None] > 0.0, n_g, -n_g)
         got_f, f_l, scat_pdf = get_f(mtype, albedo, wo, wi_l, n_l)
         f_lc = f_l * vec.dot(wi_l, n_l)[:, None]
-        w_l = jnp.where(delta, 1.0, power_heuristic(light_pdf, scat_pdf))
+        # utility.cuh:53 declares power_heuristic(float, int): the second
+        # pdf is C-truncated at both call sites (render.cuh:201,229)
+        g_l = jnp.trunc(scat_pdf) if cfg.reference_parity else scat_pdf
+        w_l = jnp.where(delta, 1.0, power_heuristic(light_pdf, g_l))
         ah_L = multiplier * f_lc * li * (w_l / light_pdf)[:, None]
         ah_o, ah_d, ah_tmax = spawn_offset_ray(p, n_l, wi_l, light_t)
         ah_mask = mat_mask & got_f
@@ -255,19 +271,36 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         f2c = f2 * vec.dot(wi2, n2)[:, None]
         spec = is_specular(mtype)
         lpdf2 = pdf_li(scene.lights, pick, p, wi2)
-        w2 = jnp.where(spec, 1.0, power_heuristic(pdf2, lpdf2))
+        g_2 = jnp.trunc(lpdf2) if cfg.reference_parity else lpdf2
+        w2 = jnp.where(spec, 1.0, power_heuristic(pdf2, g_2))
         chs_mask = mat_mask & ~delta & (spec | (lpdf2 > 0.0))
         chs_L = multiplier * f2c * l_emit * (w2 / pdf2)[:, None]
         chs_o, chs_d, _ = spawn_offset_ray(p, n2, wi2)
-        # "closest hit == the picked light's triangle" (render.cuh:321, with
-        # the target fixed to the light, see deviation 3)  <=>  the ray hits
-        # that triangle at t_l AND nothing else hits with t <= t_l.  One
-        # direct MT test (against the light table's embedded emitter
-        # triangle — no scene gather) + an any-hit query replaces the
+        # "closest hit == the target triangle" (render.cuh:321)  <=>  the ray
+        # hits the target at t AND nothing else hits with t' < t.  One direct
+        # MT test + an any-hit query (excluding the target) replaces the
         # expensive closest-hit traversal.
-        chs_hit_l, chs_t, _, _ = intersect_triangle(
-            chs_o, chs_d, jnp.inf, ltp0, lte1, lte2, ltn)
-        chs_mask = chs_mask & chs_hit_l
+        if cfg.reference_parity:
+            # render.cuh:236 stores the triangle the path is STANDING ON as
+            # the target, so the channel pays off only in the degenerate case
+            # where the bounce ray re-hits its own triangle — the reference
+            # bug, replicated bit-for-bit.  (Instanced hits have no base-
+            # scene "own" triangle; the reference has no instancing, and the
+            # masked-off channel contributes 0 there either way.)
+            prim_s2 = jnp.clip(prim, 0, scene.tris.num - 1)
+            chs_tgt = jnp.where(src == 0, prim, INVALID_INDEX)
+            chs_hit_l, chs_t, _, _ = intersect_triangle(
+                chs_o, chs_d, jnp.inf, scene.tris.p0[prim_s2],
+                scene.tris.e1[prim_s2], scene.tris.e2[prim_s2],
+                scene.tris.n[prim_s2])
+            chs_mask = chs_mask & chs_hit_l & (src == 0)
+        else:
+            # target fixed to the picked light (deviation 3); its triangle is
+            # embedded in the light table — no scene gather
+            chs_tgt = ltri
+            chs_hit_l, chs_t, _, _ = intersect_triangle(
+                chs_o, chs_d, jnp.inf, ltp0, lte1, lte2, ltn)
+            chs_mask = chs_mask & chs_hit_l
 
     # ---- gen: refill dead slots with camera rays (render.cuh:250-275) -----
     gen_rank = jnp.cumsum(gen_mask) - gen_mask  # exclusive prefix sum
@@ -305,15 +338,28 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     if num_lights > 0:
         occluded = t_anyhit(ah_o, ah_d, ah_tmax, ltri, ah_mask)
         acc = _accum(acc, ah_L, ah_mask & ~occluded)
-        blocked = t_anyhit(chs_o, chs_d, chs_t, ltri, chs_mask)
+        blocked = t_anyhit(chs_o, chs_d, chs_t, chs_tgt, chs_mask)
         acc = _accum(acc, chs_L, chs_mask & ~blocked)
         traced = traced + jnp.sum(ah_mask, dtype=jnp.float32) + \
             jnp.sum(chs_mask, dtype=jnp.float32)
+
+    if cfg.reference_parity:
+        # limbo slots did not trace; the kernel returned hit=false for them,
+        # but their payload must survive for the next re-roll
+        hit = hit | limbo
+        ht = jnp.where(limbo, t_p, ht)
+        hnrm = jnp.where(limbo[:, None], normal, hnrm)
+        hprim = jnp.where(limbo, prim, hprim)
+        hsrc = jnp.where(limbo, src, hsrc)
 
     new_state = PathState(pixel=pixel, ray_o=ray_o, ray_d=ray_d, hit=hit,
                           t=ht, normal=hnrm, prim=hprim, src=hsrc,
                           bounces=bounces, beta=beta, acc=acc)
     work_left = jnp.any(trace_mask)
+    if cfg.reference_parity:
+        # limbo paths still hold unflushed radiance; keep iterating until
+        # every one has died (bounces > max_bounces) and flushed
+        work_left = work_left | jnp.any(limbo)
     occupancy = jnp.sum(trace_mask, dtype=jnp.float32) / n
     return (new_state, fb, cam_start + num_gen, it + 1, work_left,
             rays_traced + traced, occ_sum + occupancy)
