@@ -37,6 +37,11 @@ class RenderConfig:
     # upper bound on wavefront iterations (safety net for the while_loop);
     # None derives it from the workload.
     max_iterations: int | None = None
+    # collect extended observability counters (SURVEY.md §5): per-depth
+    # bounce histogram plus traversal node-step / leaf-visit counters from
+    # the kernels.  Off by default — the histogram scatter and counter
+    # plumbing cost a few percent per iteration.
+    detailed_stats: bool = False
     # replicate the reference's three estimator-visible quirks (all fixed by
     # default, see render/wavefront.py docstring): the int-truncated
     # power_heuristic g_pdf (utility.cuh:53), the Russian-roulette re-roll

@@ -434,9 +434,13 @@ def _alive(curs, sp):
 
 def _closest_kernel(o_ref, d_ref, t_ref, act_ref, ni_ref, cm_ref, nb_ref,
                     lt_ref, hit_ref, tout_ref, u_ref, v_ref, prim_ref,
-                    nx_ref, ny_ref, nz_ref, stack_ref, q_ref):
+                    nx_ref, ny_ref, nz_ref, st_ref, stack_ref, q_ref):
   """Wide closest-hit: in-kernel tile loop (tables DMA'd once), per tile an
-  outer loop alternating walk chunks and leaf-queue drains."""
+  outer loop alternating walk chunks and leaf-queue drains.
+
+  ``st_ref [n_tiles, 2]`` (SMEM) are per-tile traversal counters — walk-loop
+  rounds (NUM_WALKS node steps each, idle walks included) and leaf-row
+  visits — the node-visits observability the reference never had."""
   n_tiles = hit_ref.shape[0]
 
   def tile_body(ti, _):
@@ -460,24 +464,25 @@ def _closest_kernel(o_ref, d_ref, t_ref, act_ref, ni_ref, cm_ref, nb_ref,
         return _alive(curs, sp) | (qn > 0)
 
     def outer_body(carry):
-        curs, sp, qn, tmax, t, u, v, prim, n3 = carry
+        curs, sp, qn, rounds, leafs, tmax, t, u, v, prim, n3 = carry
 
         # walk chunk: step all walks until the queue nears capacity
         def walk_cond(c2):
-            curs, sp, qn = c2
+            curs, sp, qn, _ = c2
             return _alive(curs, sp) & (qn <= QUEUE_CAP - WIDTH)
 
         def walk_body(c2):
-            curs, sp, qn = c2
+            curs, sp, qn, rounds = c2
             new = []
             for w in range(NUM_WALKS):
                 cw, sp, qn = _walk_step(curs[w], sp, qn, tmax, refs, inv,
                                         sc, octant)
                 new.append(cw)
-            return tuple(new), sp, qn
+            return tuple(new), sp, qn, rounds + 1
 
-        curs, sp, qn = jax.lax.while_loop(walk_cond, walk_body,
-                                          (curs, sp, qn))
+        curs, sp, qn, rounds = jax.lax.while_loop(walk_cond, walk_body,
+                                                  (curs, sp, qn, rounds))
+        leafs = leafs + qn
 
         # drain the leaf queue (pipelined vector loop)
         def drain_body(c2):
@@ -499,15 +504,16 @@ def _closest_kernel(o_ref, d_ref, t_ref, act_ref, ni_ref, cm_ref, nb_ref,
         _, tmax, t, u, v, prim, n3 = jax.lax.while_loop(
             lambda c2: c2[0] < qn, drain_body,
             (jnp.int32(0), tmax, t, u, v, prim, n3))
-        return curs, sp, jnp.int32(0), tmax, t, u, v, prim, n3
+        return curs, sp, jnp.int32(0), rounds, leafs, tmax, t, u, v, prim, n3
 
-    init = (curs0, jnp.int32(0), jnp.int32(0), tmax,
+    init = (curs0, jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            tmax,
             jnp.full(tmax.shape, BIG, jnp.float32),
             jnp.zeros_like(tmax), jnp.zeros_like(tmax),
             jnp.full(tmax.shape, -1, jnp.int32),
             (jnp.zeros_like(tmax),) * 3)
     out = jax.lax.while_loop(outer_cond, outer_body, init)
-    _, _, _, _, t, u, v, prim, n3 = out
+    _, _, _, rounds, leafs, _, t, u, v, prim, n3 = out
     hit = (prim >= 0) & valid
     hit_ref[ti] = hit.astype(jnp.int32)
     tout_ref[ti] = t
@@ -517,15 +523,18 @@ def _closest_kernel(o_ref, d_ref, t_ref, act_ref, ni_ref, cm_ref, nb_ref,
     nx_ref[ti] = n3[0]
     ny_ref[ti] = n3[1]
     nz_ref[ti] = n3[2]
+    st_ref[ti, 0] = rounds
+    st_ref[ti, 1] = leafs
     return 0
 
   jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
 def _anyhit_kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, ni_ref, cm_ref,
-                   nb_ref, lt_ref, occ_ref, stack_ref, q_ref):
+                   nb_ref, lt_ref, occ_ref, st_ref, stack_ref, q_ref):
   """Wide any-hit with excluded prim id; early exit between drains once every
-  valid lane is occluded (bvh.cuh:318,328)."""
+  valid lane is occluded (bvh.cuh:318,328).  ``st_ref``: see
+  _closest_kernel."""
   n_tiles = occ_ref.shape[0]
 
   def tile_body(ti, _):
@@ -542,28 +551,29 @@ def _anyhit_kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, ni_ref, cm_ref,
         tuple(jnp.int32(IDLE) for _ in range(NUM_WALKS - 1))
 
     def outer_cond(carry):
-        curs, sp, qn, _, done = carry
+        curs, sp, qn, done = carry[0], carry[1], carry[2], carry[6]
         return ~done & (_alive(curs, sp) | (qn > 0))
 
     def outer_body(carry):
-        curs, sp, qn, occluded, done = carry
+        curs, sp, qn, rounds, leafs, occluded, done = carry
         tmax = jnp.where(occluded != 0, -BIG, tmax_all)
 
         def walk_cond(c2):
-            curs, sp, qn = c2
+            curs, sp, qn, _ = c2
             return _alive(curs, sp) & (qn <= QUEUE_CAP - WIDTH)
 
         def walk_body(c2):
-            curs, sp, qn = c2
+            curs, sp, qn, rounds = c2
             new = []
             for w in range(NUM_WALKS):
                 cw, sp, qn = _walk_step(curs[w], sp, qn, tmax, refs, inv,
                                         sc, octant)
                 new.append(cw)
-            return tuple(new), sp, qn
+            return tuple(new), sp, qn, rounds + 1
 
-        curs, sp, qn = jax.lax.while_loop(walk_cond, walk_body,
-                                          (curs, sp, qn))
+        curs, sp, qn, rounds = jax.lax.while_loop(walk_cond, walk_body,
+                                                  (curs, sp, qn, rounds))
+        leafs = leafs + qn
 
         def drain_body(c2):
             qi, occluded = c2
@@ -576,12 +586,14 @@ def _anyhit_kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, ni_ref, cm_ref,
         _, occluded = jax.lax.while_loop(lambda c2: c2[0] < qn, drain_body,
                                          (jnp.int32(0), occluded))
         done = jnp.all((occluded != 0) | ~valid)
-        return curs, sp, jnp.int32(0), occluded, done
+        return curs, sp, jnp.int32(0), rounds, leafs, occluded, done
 
-    init = (curs0, jnp.int32(0), jnp.int32(0),
+    init = (curs0, jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
             jnp.zeros(tmax_all.shape, jnp.int32), ~any_valid)
     out = jax.lax.while_loop(outer_cond, outer_body, init)
-    occ_ref[ti] = jnp.where((out[3] != 0) & valid, 1, 0)
+    occ_ref[ti] = jnp.where((out[5] != 0) & valid, 1, 0)
+    st_ref[ti, 0] = out[3]
+    st_ref[ti, 1] = out[4]
     return 0
 
   jax.lax.fori_loop(0, n_tiles, tile_body, 0)
@@ -620,15 +632,19 @@ def _scratch():
             pltpu.SMEM((Q_ALLOC,), jnp.int32)]
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "with_stats"))
 def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
-                          active, interpret: bool = False):
+                          active, interpret: bool = False,
+                          with_stats: bool = False):
     """Wide-BVH packet closest-hit traversal.
 
     Same contract as traversal.traverse_closest: returns
     ``(hit, t, u, v, prim, normal)`` over ``[N]`` rays, where ``normal``
     ``[N, 3]`` is the hit triangle's unnormalized geometric normal
-    (cross(e1, e2), triangle.cuh:19) — zero on miss.
+    (cross(e1, e2), triangle.cuh:19) — zero on miss.  With
+    ``with_stats=True`` a trailing ``(walk_rounds, leaf_visits)`` int32
+    scalar pair is appended (summed over tiles; a walk round = NUM_WALKS
+    wide-node steps, idle walks included).
     """
     n = origin.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
@@ -640,10 +656,10 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
     act = _scalar_tiles(_pad(active.astype(jnp.int32), n_pad, 0), n_tiles)
 
     shp = (n_tiles, SUBLANES, 128)
-    hit, t, u, v, prim, nx, ny, nz = pl.pallas_call(
+    hit, t, u, v, prim, nx, ny, nz, st = pl.pallas_call(
         _closest_kernel,
         in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _VMEM, _VMEM],
-        out_specs=[_VMEM] * 8,
+        out_specs=[_VMEM] * 8 + [_SMEM],
         out_shape=[jax.ShapeDtypeStruct(shp, jnp.int32),
                    jax.ShapeDtypeStruct(shp, jnp.float32),
                    jax.ShapeDtypeStruct(shp, jnp.float32),
@@ -651,7 +667,8 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
                    jax.ShapeDtypeStruct(shp, jnp.int32),
                    jax.ShapeDtypeStruct(shp, jnp.float32),
                    jax.ShapeDtypeStruct(shp, jnp.float32),
-                   jax.ShapeDtypeStruct(shp, jnp.float32)],
+                   jax.ShapeDtypeStruct(shp, jnp.float32),
+                   jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32)],
         scratch_shapes=_scratch(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(tables, n_pad)),
@@ -661,13 +678,20 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
 
     flat = lambda a: a.reshape(n_pad)[:n]
     normal = jnp.stack([flat(nx), flat(ny), flat(nz)], axis=-1)
-    return (flat(hit) != 0, flat(t), flat(u), flat(v), flat(prim), normal)
+    out = (flat(hit) != 0, flat(t), flat(u), flat(v), flat(prim), normal)
+    if with_stats:
+        out = out + ((jnp.sum(st[:, 0]), jnp.sum(st[:, 1])),)
+    return out
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "with_stats"))
 def wide_traverse_anyhit(tables: WideTables, origin, direction, tmax,
-                         exclude, active, interpret: bool = False):
-    """Wide-BVH packet any-hit traversal (occlusion with prim exclusion)."""
+                         exclude, active, interpret: bool = False,
+                         with_stats: bool = False):
+    """Wide-BVH packet any-hit traversal (occlusion with prim exclusion).
+
+    With ``with_stats=True`` returns ``(occluded, (walk_rounds,
+    leaf_visits))`` instead of just ``occluded``."""
     n = origin.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
     n_tiles = n_pad // TILE
@@ -678,16 +702,20 @@ def wide_traverse_anyhit(tables: WideTables, origin, direction, tmax,
     act = _scalar_tiles(_pad(active.astype(jnp.int32), n_pad, 0), n_tiles)
     ex = _scalar_tiles(_pad(exclude, n_pad, -1), n_tiles)
 
-    occ = pl.pallas_call(
+    occ, st = pl.pallas_call(
         _anyhit_kernel,
         in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _VMEM,
                   _VMEM],
-        out_specs=_VMEM,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, SUBLANES, 128), jnp.int32),
+        out_specs=[_VMEM, _SMEM],
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, SUBLANES, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32)],
         scratch_shapes=_scratch(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(tables, n_pad)),
         interpret=interpret,
     )(o, d, tm, act, ex, tables.node_info, tables.child_meta,
       tables.node_bounds, tables.leaf_tris)
-    return occ.reshape(n_pad)[:n] != 0
+    occluded = occ.reshape(n_pad)[:n] != 0
+    if with_stats:
+        return occluded, (jnp.sum(st[:, 0]), jnp.sum(st[:, 1]))
+    return occluded

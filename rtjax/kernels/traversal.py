@@ -132,13 +132,16 @@ def _traverse_one_closest(bvh, tris, stack_size, origin, direction, tmax,
               jnp.float32(0), _SENTINEL)
 
     def body(carry):
-        cur, sp, stack, tmax, hit, t, u, v, prim, done = carry
+        cur, sp, stack, tmax, hit, t, u, v, prim, done, steps, leafs = carry
         left, right = cur, cur + 1
 
         ok_l, entry_l = slab(left)
         ok_r, entry_r = slab(right)
         leaf_l = bvh.num_prims[left] > 0
         leaf_r = bvh.num_prims[right] > 0
+
+        steps = steps + 1
+        leafs = leafs + (ok_l & leaf_l) + (ok_r & leaf_r)
 
         # consume leaf children inline; left first, right sees shrunk tmax
         state = (tmax, hit, t, u, v, prim)
@@ -151,13 +154,13 @@ def _traverse_one_closest(bvh, tris, stack_size, origin, direction, tmax,
         cur, sp, stack, done = _next_node(
             ok_l & ~leaf_l, ok_r & ~leaf_r, entry_l, entry_r,
             bvh.left_first[left], bvh.left_first[right], sp, stack, done)
-        return cur, sp, stack, tmax, hit, t, u, v, prim, done
+        return cur, sp, stack, tmax, hit, t, u, v, prim, done, steps, leafs
 
     stack = jnp.full((stack_size,), _SENTINEL)
     init = (bvh.left_first[0], jnp.int32(0), stack) + no_hit + \
-        (jnp.bool_(~active),)
-    out = jax.lax.while_loop(lambda c: ~c[-1], body, init)
-    return out[4], out[5], out[6], out[7], out[8]
+        (jnp.bool_(~active), jnp.int32(0), jnp.int32(0))
+    out = jax.lax.while_loop(lambda c: ~c[9], body, init)
+    return out[4], out[5], out[6], out[7], out[8], out[10], out[11]
 
 
 def _traverse_one_anyhit(bvh, tris, stack_size, origin, direction, tmax,
@@ -169,13 +172,16 @@ def _traverse_one_anyhit(bvh, tris, stack_size, origin, direction, tmax,
     slab = _make_slab(bvh, origin, direction)
 
     def body(carry):
-        cur, sp, stack, occluded, done = carry
+        cur, sp, stack, occluded, done, steps, leafs = carry
         left, right = cur, cur + 1
 
         ok_l, entry_l = slab(left)
         ok_r, entry_r = slab(right)
         leaf_l = bvh.num_prims[left] > 0
         leaf_r = bvh.num_prims[right] > 0
+
+        steps = steps + 1
+        leafs = leafs + (ok_l & leaf_l) + (ok_r & leaf_r)
 
         occluded = occluded | _leaf_anyhit(
             bvh, tris, origin, direction, tmax, exclude, ok_l & leaf_l, left)
@@ -186,18 +192,19 @@ def _traverse_one_anyhit(bvh, tris, stack_size, origin, direction, tmax,
         cur, sp, stack, done = _next_node(
             ok_l & ~leaf_l, ok_r & ~leaf_r, entry_l, entry_r,
             bvh.left_first[left], bvh.left_first[right], sp, stack, done)
-        return cur, sp, stack, occluded, done
+        return cur, sp, stack, occluded, done, steps, leafs
 
     stack = jnp.full((stack_size,), _SENTINEL)
     init = (bvh.left_first[0], jnp.int32(0), stack, jnp.bool_(False),
-            jnp.bool_(~active))
-    out = jax.lax.while_loop(lambda c: ~c[-1], body, init)
-    return out[3]
+            jnp.bool_(~active), jnp.int32(0), jnp.int32(0))
+    out = jax.lax.while_loop(lambda c: ~c[4], body, init)
+    return out[3], out[5], out[6]
 
 
-@partial(jax.jit, static_argnames=("stack_size",))
+@partial(jax.jit, static_argnames=("stack_size", "with_stats"))
 def traverse_closest(bvh: BvhArrays, tris: Triangles, origin, direction,
-                     tmax, active, stack_size: int = BVH_MAX_DEPTH):
+                     tmax, active, stack_size: int = BVH_MAX_DEPTH,
+                     with_stats: bool = False):
     """Batched closest-hit traversal.
 
     Args:
@@ -208,23 +215,34 @@ def traverse_closest(bvh: BvhArrays, tris: Triangles, origin, direction,
     Returns ``(hit, t, u, v, prim, normal)``; ``prim`` is the global
     (leaf-order) triangle index or -1, ``normal [N, 3]`` the hit triangle's
     unnormalized geometric normal (zero on miss) — same contract as
-    pallas_wide.wide_traverse_closest.
+    pallas_wide.wide_traverse_closest.  With ``with_stats=True`` a trailing
+    ``(node_pair_steps, leaf_visits)`` int32 scalar pair is appended
+    (summed over rays).
     """
     fn = partial(_traverse_one_closest, bvh, tris, stack_size)
-    hit, t, u, v, prim = jax.vmap(fn)(origin, direction, tmax, active)
+    hit, t, u, v, prim, steps, leafs = jax.vmap(fn)(origin, direction, tmax,
+                                                    active)
     hit = hit & active
     normal = jnp.where(hit[:, None],
                        tris.n[jnp.clip(prim, 0, tris.num - 1)], 0.0)
-    return hit, t, u, v, prim, normal
+    out = (hit, t, u, v, prim, normal)
+    if with_stats:
+        out = out + ((jnp.sum(steps), jnp.sum(leafs)),)
+    return out
 
 
-@partial(jax.jit, static_argnames=("stack_size",))
+@partial(jax.jit, static_argnames=("stack_size", "with_stats"))
 def traverse_anyhit(bvh: BvhArrays, tris: Triangles, origin, direction,
-                    tmax, exclude, active, stack_size: int = BVH_MAX_DEPTH):
+                    tmax, exclude, active, stack_size: int = BVH_MAX_DEPTH,
+                    with_stats: bool = False):
     """Batched any-hit (occlusion) traversal with per-ray excluded triangle.
 
-    Returns ``occluded [N]`` (False for inactive lanes).
+    Returns ``occluded [N]`` (False for inactive lanes); with
+    ``with_stats=True``, ``(occluded, (node_pair_steps, leaf_visits))``.
     """
     fn = partial(_traverse_one_anyhit, bvh, tris, stack_size)
-    occ = jax.vmap(fn)(origin, direction, tmax, exclude, active)
-    return occ & active
+    occ, steps, leafs = jax.vmap(fn)(origin, direction, tmax, exclude, active)
+    occluded = occ & active
+    if with_stats:
+        return occluded, (jnp.sum(steps), jnp.sum(leafs))
+    return occluded

@@ -31,14 +31,18 @@ def resolve_mode(scene, cfg):
     return mode, interp
 
 
-def _backend(mode, interp, tables, bvh, tris, stack_size):
+def _backend(mode, interp, tables, bvh, tris, stack_size, with_stats=False):
     if mode == "pallas":
         assert tables is not None, (
             "traversal='pallas' needs scenes built with max_leaf_size <= 8")
-        return (partial(wide_traverse_closest, tables, interpret=interp),
-                partial(wide_traverse_anyhit, tables, interpret=interp))
-    return (partial(traverse_closest, bvh, tris, stack_size=stack_size),
-            partial(traverse_anyhit, bvh, tris, stack_size=stack_size))
+        return (partial(wide_traverse_closest, tables, interpret=interp,
+                        with_stats=with_stats),
+                partial(wide_traverse_anyhit, tables, interpret=interp,
+                        with_stats=with_stats))
+    return (partial(traverse_closest, bvh, tris, stack_size=stack_size,
+                    with_stats=with_stats),
+            partial(traverse_anyhit, bvh, tris, stack_size=stack_size,
+                    with_stats=with_stats))
 
 
 def _instance_mask(inst, k, o, d):
@@ -49,31 +53,37 @@ def _instance_mask(inst, k, o, d):
     return ok
 
 
-def trace_closest(scene, cfg, mode, interp, o, d, tmax, active):
+def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
+                  with_stats=False):
     """Closest hit over base scene + all instances.
 
     Returns ``(hit, t, u, v, prim, src, normal)``; ``normal [N, 3]`` is the
     world-space unnormalized geometric normal of the hit triangle (the
     reference's cross(e1, e2), triangle.cuh:19), straight from the traversal
-    kernel — no post-hoc triangle gather.
+    kernel — no post-hoc triangle gather.  With ``with_stats=True`` a
+    trailing ``(node_steps, leaf_visits)`` pair is appended (summed over the
+    base scene and every instance launch).
     """
     closest, _ = _backend(mode, interp, scene.tables, scene.bvh, scene.tris,
-                          cfg.stack_size)
-    hit, t, u, v, prim, n_w = closest(o, d, tmax, active)
+                          cfg.stack_size, with_stats)
+    hit, t, u, v, prim, n_w, *st = closest(o, d, tmax, active)
     t = jnp.where(hit, t, tmax)
     src = jnp.zeros_like(prim)
+    steps, leafs = st[0] if with_stats else (0, 0)
 
     inst = getattr(scene, "instances", None)
     if inst is not None:
         for k in range(inst.num):
             blas = scene.blas[inst.mesh_id[k]]
             c_k, _ = _backend(mode, interp, blas.tables, blas.bvh, blas.tris,
-                              cfg.stack_size)
+                              cfg.stack_size, with_stats)
             m = active & _instance_mask(inst, k, o, d)
             o_l = apply_affine_point(inst.inv[k], o)
             d_l = apply_affine_vector(inst.inv[k], d)  # NOT normalized:
             # preserves the ray parameter, so t compares in world units
-            h2, t2, u2, v2, p2, n2 = c_k(o_l, d_l, t, m)
+            h2, t2, u2, v2, p2, n2, *st2 = c_k(o_l, d_l, t, m)
+            if with_stats:
+                steps, leafs = steps + st2[0][0], leafs + st2[0][1]
             closer = h2 & (t2 < t)
             # cofactor transform = world cross of transformed edges
             n2_w = jnp.einsum("ij,nj->ni", inst.nrm[k], n2)
@@ -84,18 +94,25 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active):
             src = jnp.where(closer, k + 1, src)
             n_w = jnp.where(closer[:, None], n2_w, n_w)
             hit = hit | closer
-    return hit, t, u, v, prim, src, n_w
+    out = (hit, t, u, v, prim, src, n_w)
+    if with_stats:
+        out = out + ((steps, leafs),)
+    return out
 
 
-def trace_anyhit(scene, cfg, mode, interp, o, d, tmax, exclude, active):
+def trace_anyhit(scene, cfg, mode, interp, o, d, tmax, exclude, active,
+                 with_stats=False):
     """Occlusion over base scene + all instances.
 
     ``exclude`` is a BASE-scene triangle index (shadow-ray light exclusion,
-    bvh.cuh:239-248); instanced geometry is never excluded.
+    bvh.cuh:239-248); instanced geometry is never excluded.  With
+    ``with_stats=True`` returns ``(occluded, (node_steps, leaf_visits))``.
     """
     _, anyhit = _backend(mode, interp, scene.tables, scene.bvh, scene.tris,
-                         cfg.stack_size)
+                         cfg.stack_size, with_stats)
     occ = anyhit(o, d, tmax, exclude, active)
+    if with_stats:
+        occ, (steps, leafs) = occ
 
     inst = getattr(scene, "instances", None)
     if inst is not None:
@@ -103,11 +120,17 @@ def trace_anyhit(scene, cfg, mode, interp, o, d, tmax, exclude, active):
         for k in range(inst.num):
             blas = scene.blas[inst.mesh_id[k]]
             _, a_k = _backend(mode, interp, blas.tables, blas.bvh, blas.tris,
-                              cfg.stack_size)
+                              cfg.stack_size, with_stats)
             m = active & ~occ & _instance_mask(inst, k, o, d)
             o_l = apply_affine_point(inst.inv[k], o)
             d_l = apply_affine_vector(inst.inv[k], d)
-            occ = occ | a_k(o_l, d_l, tmax, no_excl, m)
+            occ_k = a_k(o_l, d_l, tmax, no_excl, m)
+            if with_stats:
+                occ_k, (s2, l2) = occ_k
+                steps, leafs = steps + s2, leafs + l2
+            occ = occ | occ_k
+    if with_stats:
+        return occ, (steps, leafs)
     return occ
 
 

@@ -140,7 +140,7 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
                    carry):
     """One wavefront iteration == one bounce for all in-flight paths
     (the body of the host loop at render.cuh:428-449)."""
-    state, fb, cam_start, it, _, rays_traced, occ_sum = carry
+    state, fb, cam_start, it, _, rays_traced, occ_sum, *extra = carry
     n = state.pixel.shape[0]
     num_lights = scene.num_lights
     cam_end = cfg.total_camera_rays
@@ -148,8 +148,10 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     # traversal backend: "pallas" packet kernels (TPU fast path; interpreted
     # on CPU), "xla" gather-based while_loop, or "auto"
     mode, interp = resolve_mode(scene, cfg)
-    t_closest = partial(trace_closest, scene, cfg, mode, interp)
-    t_anyhit = partial(trace_anyhit, scene, cfg, mode, interp)
+    t_closest = partial(trace_closest, scene, cfg, mode, interp,
+                        with_stats=cfg.detailed_stats)
+    t_anyhit = partial(trace_anyhit, scene, cfg, mode, interp,
+                       with_stats=cfg.detailed_stats)
 
     # all RNG sites of this iteration in one threefry sweep.  Draws are
     # slot-position-indexed; the state sort below re-seats paths between
@@ -332,13 +334,22 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     # ---- traversal (render.cuh:278-328) ------------------------------------
     trace_mask = mat_mask | got_ray
     inf = jnp.full(n, jnp.inf, jnp.float32)
-    hit, ht, _, _, hprim, hsrc, hnrm = t_closest(ray_o, ray_d, inf, trace_mask)
+    hit, ht, _, _, hprim, hsrc, hnrm, *tst = t_closest(ray_o, ray_d, inf,
+                                                       trace_mask)
+    node_steps = leaf_visits = 0
+    if cfg.detailed_stats:
+        node_steps, leaf_visits = tst[0]
 
     traced = jnp.sum(trace_mask, dtype=jnp.float32)
     if num_lights > 0:
         occluded = t_anyhit(ah_o, ah_d, ah_tmax, ltri, ah_mask)
-        acc = _accum(acc, ah_L, ah_mask & ~occluded)
         blocked = t_anyhit(chs_o, chs_d, chs_t, chs_tgt, chs_mask)
+        if cfg.detailed_stats:
+            occluded, (s1, l1) = occluded
+            blocked, (s2, l2) = blocked
+            node_steps = node_steps + s1 + s2
+            leaf_visits = leaf_visits + l1 + l2
+        acc = _accum(acc, ah_L, ah_mask & ~occluded)
         acc = _accum(acc, chs_L, chs_mask & ~blocked)
         traced = traced + jnp.sum(ah_mask, dtype=jnp.float32) + \
             jnp.sum(chs_mask, dtype=jnp.float32)
@@ -361,8 +372,14 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         # every one has died (bounces > max_bounces) and flushed
         work_left = work_left | jnp.any(limbo)
     occupancy = jnp.sum(trace_mask, dtype=jnp.float32) / n
+    if cfg.detailed_stats:
+        # bounce-depth histogram of traced path rays (depth 0 = camera rays)
+        hist, steps_acc, leafs_acc = extra
+        depth = jnp.clip(bounces, 0, cfg.max_bounces)
+        hist = hist.at[depth].add(trace_mask.astype(jnp.int32))
+        extra = (hist, steps_acc + node_steps, leafs_acc + leaf_visits)
     return (new_state, fb, cam_start + num_gen, it + 1, work_left,
-            rays_traced + traced, occ_sum + occupancy)
+            rays_traced + traced, occ_sum + occupancy) + tuple(extra)
 
 
 def render_frame_linear(scene: Scene, camera: Camera, cfg: RenderConfig, key):
@@ -377,6 +394,9 @@ def render_frame_linear(scene: Scene, camera: Camera, cfg: RenderConfig, key):
     fb = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
     carry = (state, fb, jnp.int32(0), jnp.int32(0), jnp.bool_(False),
              jnp.float32(0), jnp.float32(0))
+    if cfg.detailed_stats:
+        carry = carry + (jnp.zeros(cfg.max_bounces + 1, jnp.int32),
+                         jnp.int32(0), jnp.int32(0))
 
     def cond(carry):
         cam_start, it, work_left = carry[2], carry[3], carry[4]
@@ -386,11 +406,20 @@ def render_frame_linear(scene: Scene, camera: Camera, cfg: RenderConfig, key):
         return more
 
     step = partial(wavefront_step, scene, camera, cfg, key)
-    state, fb, _, it, _, rays, occ = jax.lax.while_loop(cond, step, carry)
+    state, fb, _, it, _, rays, occ, *extra = jax.lax.while_loop(cond, step,
+                                                                carry)
     # avg path-slot occupancy per iteration: the compaction-quality metric
     # the reference never had (SURVEY.md §5 observability)
-    return fb, {"iterations": it, "rays_traced": rays,
-                "avg_occupancy": occ / jnp.maximum(it, 1)}
+    stats = {"iterations": it, "rays_traced": rays,
+             "avg_occupancy": occ / jnp.maximum(it, 1)}
+    if cfg.detailed_stats:
+        # [max_bounces+1] path rays traced per bounce depth, plus traversal
+        # work counters (kernel semantics: pallas = walk rounds / leaf-row
+        # visits, xla = node-pair steps / leaf visits)
+        stats["bounce_histogram"] = extra[0]
+        stats["node_steps"] = extra[1]
+        stats["leaf_visits"] = extra[2]
+    return fb, stats
 
 
 @partial(jax.jit, static_argnames=("cfg",))

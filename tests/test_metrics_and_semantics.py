@@ -62,3 +62,36 @@ def test_spp_scaling_reduces_variance():
         imgs[spp] = mse(np.asarray(a), np.asarray(c))
     # inter-seed MSE must drop roughly linearly with spp
     assert imgs[64] < imgs[8] / 3.0
+
+
+def test_detailed_stats_counters():
+    """detailed_stats=True (SURVEY.md §5 observability) adds a bounce-depth
+    histogram and traversal work counters without changing the image."""
+    import dataclasses
+
+    b = SceneBuilder()
+    white = b.make_matte((0.73, 0.73, 0.73))
+    b.add_triangles([-2, 0, 2], [2, 0, 2], [2, 0, -2], white)
+    b.add_triangles([-2, 0, 2], [-2, 0, -2], [2, 0, -2], white)
+    b.add_area_light([-0.5, 2, -0.5], [0.5, 2, -0.5], [0.5, 2, 0.5],
+                     (8, 8, 8), white)
+    scene = b.build()
+    cam = Camera.make((0, 1.2, 2.5), (0, 0, 0), (0, 1, 0), 40, 1.0)
+    key = jax.random.key(1)
+
+    for mode in ("pallas", "xla"):
+        cfg = RenderConfig(width=16, height=16, num_samples=8, max_bounces=4,
+                           num_working_paths=1024, traversal=mode,
+                           detailed_stats=True)
+        fb, st = render_frame(scene, cam, cfg, key)
+        hist = np.asarray(st["bounce_histogram"])
+        assert hist.shape == (cfg.max_bounces + 1,)
+        # every camera sample appears at depth 0; depths can only shrink
+        assert hist[0] == cfg.num_pixels * cfg.num_samples
+        assert (np.diff(hist) <= 0).all()
+        assert int(st["node_steps"]) > 0 and int(st["leaf_visits"]) > 0
+        # counters must not perturb the render
+        fb0, st0 = render_frame(
+            scene, cam, dataclasses.replace(cfg, detailed_stats=False), key)
+        np.testing.assert_array_equal(np.asarray(fb), np.asarray(fb0))
+        assert "bounce_histogram" not in st0
