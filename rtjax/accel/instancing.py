@@ -81,12 +81,19 @@ def affine_rows(matrix: np.ndarray) -> np.ndarray:
 
 
 def apply_affine_point(rows, p):
-    """rows [3,4] (or [...,3,4]) @ [p,1] for p [..., 3]."""
-    return jnp.einsum("...ij,...j->...i", rows[..., :3], p) + rows[..., 3]
+    """rows [3,4] (or [...,3,4]) @ [p,1] for p [..., 3].
+
+    precision="highest" is required: XLA's default lowers this f32 einsum to
+    bf16 MXU passes on TPU (~4e-3 relative error), which perturbs local-frame
+    rays enough to flip hit triangles near silhouettes.
+    """
+    return jnp.einsum("...ij,...j->...i", rows[..., :3], p,
+                      precision="highest") + rows[..., 3]
 
 
 def apply_affine_vector(rows, v):
-    return jnp.einsum("...ij,...j->...i", rows[..., :3], v)
+    return jnp.einsum("...ij,...j->...i", rows[..., :3], v,
+                      precision="highest")
 
 
 def instance_world_aabb(mesh_bmin, mesh_bmax, matrix) -> tuple:

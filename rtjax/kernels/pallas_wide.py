@@ -432,39 +432,29 @@ def _alive(curs, sp):
     return alive
 
 
-def _closest_kernel(o_ref, d_ref, t_ref, act_ref, ni_ref, cm_ref, nb_ref,
-                    lt_ref, hit_ref, tout_ref, u_ref, v_ref, prim_ref,
-                    nx_ref, ny_ref, nz_ref, st_ref, stack_ref, q_ref):
-  """Wide closest-hit: in-kernel tile loop (tables DMA'd once), per tile an
-  outer loop alternating walk chunks and leaf-queue drains.
+def _never(_ds):
+    return jnp.bool_(False)
 
-  ``st_ref [n_tiles, 2]`` (SMEM) are per-tile traversal counters — walk-loop
-  rounds (NUM_WALKS node steps each, idle walks included) and leaf-row
-  visits — the node-visits observability the reference never had."""
-  n_tiles = hit_ref.shape[0]
 
-  def tile_body(ti, _):
-    o, d, inv, sc, tmax0, octant = _ray_setup(o_ref, d_ref, t_ref, ti)
-    valid = act_ref[ti] != 0
-    tmax = jnp.where(valid, tmax0, -BIG)
-    any_valid = jnp.any(valid)
+def _run_walk(refs, inv, sc, octant, root, tmax, ds, drain_loop, stop_fn,
+              rounds, leafs):
+    """Walk one (sub)tree to completion: alternate branch-free walk chunks
+    with pipelined leaf-queue drains (module docstring, items 2-3).
 
-    # the pop path reads stack_ref[max(sp-1, 0)] UNCONDITIONALLY (selects
-    # discard it when sp == 0); seed slot 0 so the speculative child_meta
-    # index derived from it is always in range (uninitialized SMEM would be
-    # an out-of-bounds scalar load => device fault)
-    stack_ref[0] = 0
-
-    refs = (nb_ref, cm_ref, ni_ref, stack_ref, q_ref)
-    curs0 = (jnp.where(any_valid, 0, IDLE),) + \
-        tuple(jnp.int32(IDLE) for _ in range(NUM_WALKS - 1))
+    ``ds`` is an arbitrary drain-state pytree threaded through
+    ``drain_loop(qn, tmax, ds) -> (tmax, ds)`` per filled queue;
+    ``stop_fn(ds)`` aborts the walk early (the any-hit all-lanes-occluded
+    exit).  ``rounds``/``leafs`` are running work counters.  Returns
+    ``(rounds, leafs, tmax, ds)``.
+    """
+    curs0 = (root,) + tuple(jnp.int32(IDLE) for _ in range(NUM_WALKS - 1))
 
     def outer_cond(carry):
-        curs, sp, qn = carry[0], carry[1], carry[2]
-        return _alive(curs, sp) | (qn > 0)
+        curs, sp, qn, ds = carry[0], carry[1], carry[2], carry[6]
+        return ~stop_fn(ds) & (_alive(curs, sp) | (qn > 0))
 
     def outer_body(carry):
-        curs, sp, qn, rounds, leafs, tmax, t, u, v, prim, n3 = carry
+        curs, sp, qn, rounds, leafs, tmax, ds = carry
 
         # walk chunk: step all walks until the queue nears capacity
         def walk_cond(c2):
@@ -483,43 +473,413 @@ def _closest_kernel(o_ref, d_ref, t_ref, act_ref, ni_ref, cm_ref, nb_ref,
         curs, sp, qn, rounds = jax.lax.while_loop(walk_cond, walk_body,
                                                   (curs, sp, qn, rounds))
         leafs = leafs + qn
+        tmax, ds = drain_loop(qn, tmax, ds)
+        return curs, sp, jnp.int32(0), rounds, leafs, tmax, ds
 
-        # drain the leaf queue (pipelined vector loop)
-        def drain_body(c2):
-            qi, tmax, t, u, v, prim, n3 = c2
+    out = jax.lax.while_loop(outer_cond, outer_body,
+                             (curs0, jnp.int32(0), jnp.int32(0), rounds,
+                              leafs, tmax, ds))
+    return out[3], out[4], out[5], out[6]
+
+
+def _simple_drain_loop(q_ref, lt_ref, drain_fn):
+    """Drain the leaf queue from VMEM-resident leaf rows."""
+
+    def loop(qn, tmax, ds):
+        def body(c2):
+            qi, tmax, ds = c2
             meta = q_ref[qi]
             row_b = jnp.broadcast_to(lt_ref[pl.ds(meta >> 4, 1), :],
                                      (SUBLANES, 128))
-            bt, bu, bv, bp, bnx, bny, bnz = _mt8(row_b, o, d, tmax)
-            ok = (bp >= 0) & ((meta & 15) > 0)
-            tmax = jnp.where(ok, bt, tmax)
-            t = jnp.where(ok, bt, t)
-            u = jnp.where(ok, bu, u)
-            v = jnp.where(ok, bv, v)
-            prim = jnp.where(ok, bp.astype(jnp.int32), prim)
-            n3 = tuple(jnp.where(ok, bn, n) for bn, n in
-                       zip((bnx, bny, bnz), n3))
-            return qi + 1, tmax, t, u, v, prim, n3
+            tmax, ds = drain_fn(meta, row_b, tmax, ds)
+            return qi + 1, tmax, ds
 
-        _, tmax, t, u, v, prim, n3 = jax.lax.while_loop(
-            lambda c2: c2[0] < qn, drain_body,
-            (jnp.int32(0), tmax, t, u, v, prim, n3))
-        return curs, sp, jnp.int32(0), rounds, leafs, tmax, t, u, v, prim, n3
+        _, tmax, ds = jax.lax.while_loop(lambda c2: c2[0] < qn, body,
+                                         (jnp.int32(0), tmax, ds))
+        return tmax, ds
 
-    init = (curs0, jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-            tmax,
-            jnp.full(tmax.shape, BIG, jnp.float32),
-            jnp.zeros_like(tmax), jnp.zeros_like(tmax),
-            jnp.full(tmax.shape, -1, jnp.int32),
-            (jnp.zeros_like(tmax),) * 3)
-    out = jax.lax.while_loop(outer_cond, outer_body, init)
-    _, _, _, rounds, leafs, _, t, u, v, prim, n3 = out
+    return loop
+
+
+DMA_DEPTH = 8  # leaf-row prefetch pipeline depth (HBM-streamed tables)
+
+
+def _hbm_drain_loop(q_ref, lt_hbm, rowbuf, sems, drain_fn):
+    """Drain the leaf queue from HBM with a DMA prefetch pipeline.
+
+    The deferred leaf queue doubles as the lookahead list: rows qi..qi+DEPTH
+    are in flight into the ``rowbuf`` ring while row qi is MT-tested, so the
+    ~1 us HBM latency overlaps compute instead of serializing it (the
+    VMEM-cliff fix: scenes whose leaf table exceeds VMEM stream at HBM
+    latency instead of falling to the XLA gather path)."""
+
+    def start(qi):
+        slot = qi & (DMA_DEPTH - 1)
+        pltpu.make_async_copy(lt_hbm.at[pl.ds(q_ref[qi] >> 4, 1), :],
+                              rowbuf.at[slot], sems.at[slot]).start()
+
+    def loop(qn, tmax, ds):
+        def pro(s, _):
+            @pl.when(s < qn)
+            def _():
+                start(s)
+            return 0
+
+        jax.lax.fori_loop(0, DMA_DEPTH, pro, 0)
+
+        def body(c2):
+            qi, tmax, ds = c2
+            meta = q_ref[qi]
+            slot = qi & (DMA_DEPTH - 1)
+            pltpu.make_async_copy(lt_hbm.at[pl.ds(meta >> 4, 1), :],
+                                  rowbuf.at[slot], sems.at[slot]).wait()
+            row_b = jnp.broadcast_to(rowbuf[slot], (SUBLANES, 128))
+            tmax, ds = drain_fn(meta, row_b, tmax, ds)
+
+            @pl.when(qi + DMA_DEPTH < qn)
+            def _():
+                start(qi + DMA_DEPTH)
+            return qi + 1, tmax, ds
+
+        _, tmax, ds = jax.lax.while_loop(lambda c2: c2[0] < qn, body,
+                                         (jnp.int32(0), tmax, ds))
+        return tmax, ds
+
+    return loop
+
+
+def _closest_drain(o, d, inst_id=None):
+    """Drain-state update for closest-hit: MT-test a leaf row, keep the
+    per-lane closest accepted hit and shrink tmax.  ``inst_id`` (scalar) is
+    recorded per winning lane when given (two-level traversal)."""
+
+    def drain(meta, row_b, tmax, ds):
+        if inst_id is None:
+            t, u, v, prim, n3 = ds
+        else:
+            t, u, v, prim, inst, n3 = ds
+        bt, bu, bv, bp, bnx, bny, bnz = _mt8(row_b, o, d, tmax)
+        ok = (bp >= 0) & ((meta & 15) > 0)
+        tmax = jnp.where(ok, bt, tmax)
+        t = jnp.where(ok, bt, t)
+        u = jnp.where(ok, bu, u)
+        v = jnp.where(ok, bv, v)
+        prim = jnp.where(ok, bp.astype(jnp.int32), prim)
+        n3 = tuple(jnp.where(ok, bn, n) for bn, n in zip((bnx, bny, bnz), n3))
+        if inst_id is None:
+            return tmax, (t, u, v, prim, n3)
+        inst = jnp.where(ok, inst_id, inst)
+        return tmax, (t, u, v, prim, inst, n3)
+
+    return drain
+
+
+def _anyhit_drain(o, d, exclude):
+    """Drain-state update for any-hit: one accepted non-excluded hit occludes
+    the lane; occluded lanes drop their tmax so the walk prunes them."""
+
+    def drain(meta, row_b, tmax, occluded):
+        h = _mt8_any(row_b, o, d, tmax, exclude) & ((meta & 15) > 0)
+        occluded = occluded | h.astype(jnp.int32)
+        return jnp.where(occluded != 0, -BIG, tmax), occluded
+
+    return drain
+
+
+def _make_closest_kernel(leaf_hbm: bool):
+  """Wide closest-hit kernel: in-kernel tile loop (tables DMA'd once), per
+  tile an outer loop alternating walk chunks and leaf-queue drains.
+
+  ``st_ref [n_tiles, 2]`` (SMEM) are per-tile traversal counters — walk-loop
+  rounds (NUM_WALKS node steps each, idle walks included) and leaf-row
+  visits — the node-visits observability the reference never had.
+
+  With ``leaf_hbm`` the leaf table stays in HBM and drains stream rows
+  through a DMA ring (two extra scratch args)."""
+
+  def kernel(o_ref, d_ref, t_ref, act_ref, ni_ref, cm_ref, nb_ref,
+             lt_ref, hit_ref, tout_ref, u_ref, v_ref, prim_ref,
+             nx_ref, ny_ref, nz_ref, st_ref, stack_ref, q_ref, *dma):
+    n_tiles = hit_ref.shape[0]
+
+    def tile_body(ti, _):
+      o, d, inv, sc, tmax0, octant = _ray_setup(o_ref, d_ref, t_ref, ti)
+      valid = act_ref[ti] != 0
+      tmax = jnp.where(valid, tmax0, -BIG)
+      any_valid = jnp.any(valid)
+
+      # the pop path reads stack_ref[max(sp-1, 0)] UNCONDITIONALLY (selects
+      # discard it when sp == 0); seed slot 0 so the speculative child_meta
+      # index derived from it is always in range (uninitialized SMEM would be
+      # an out-of-bounds scalar load => device fault)
+      stack_ref[0] = 0
+
+      refs = (nb_ref, cm_ref, ni_ref, stack_ref, q_ref)
+      drain_fn = _closest_drain(o, d)
+      if leaf_hbm:
+          dloop = _hbm_drain_loop(q_ref, lt_ref, dma[0], dma[1], drain_fn)
+      else:
+          dloop = _simple_drain_loop(q_ref, lt_ref, drain_fn)
+      ds0 = (jnp.full(tmax.shape, BIG, jnp.float32),
+             jnp.zeros_like(tmax), jnp.zeros_like(tmax),
+             jnp.full(tmax.shape, -1, jnp.int32),
+             (jnp.zeros_like(tmax),) * 3)
+      rounds, leafs, _, ds = _run_walk(
+          refs, inv, sc, octant, jnp.where(any_valid, 0, IDLE), tmax, ds0,
+          dloop, _never, jnp.int32(0), jnp.int32(0))
+      t, u, v, prim, n3 = ds
+      hit = (prim >= 0) & valid
+      hit_ref[ti] = hit.astype(jnp.int32)
+      tout_ref[ti] = t
+      u_ref[ti] = u
+      v_ref[ti] = v
+      prim_ref[ti] = jnp.where(hit, prim, -1)
+      nx_ref[ti] = n3[0]
+      ny_ref[ti] = n3[1]
+      nz_ref[ti] = n3[2]
+      st_ref[ti, 0] = rounds
+      st_ref[ti, 1] = leafs
+      return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+  return kernel
+
+
+def _make_anyhit_kernel(leaf_hbm: bool):
+  """Wide any-hit kernel with excluded prim id; early exit once every valid
+  lane is occluded (bvh.cuh:318,328).  See _make_closest_kernel."""
+
+  def kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, ni_ref, cm_ref,
+             nb_ref, lt_ref, occ_ref, st_ref, stack_ref, q_ref, *dma):
+    n_tiles = occ_ref.shape[0]
+
+    def tile_body(ti, _):
+      o, d, inv, sc, tmax0, octant = _ray_setup(o_ref, d_ref, t_ref, ti)
+      valid = act_ref[ti] != 0
+      exclude = ex_ref[ti]
+      tmax_all = jnp.where(valid, tmax0, -BIG)
+      any_valid = jnp.any(valid)
+
+      stack_ref[0] = 0  # see _make_closest_kernel: speculative pop reads it
+
+      refs = (nb_ref, cm_ref, ni_ref, stack_ref, q_ref)
+      drain_fn = _anyhit_drain(o, d, exclude)
+      if leaf_hbm:
+          dloop = _hbm_drain_loop(q_ref, lt_ref, dma[0], dma[1], drain_fn)
+      else:
+          dloop = _simple_drain_loop(q_ref, lt_ref, drain_fn)
+      stop = lambda occ: jnp.all((occ != 0) | ~valid)
+      rounds, leafs, _, occluded = _run_walk(
+          refs, inv, sc, octant, jnp.where(any_valid, 0, IDLE), tmax_all,
+          jnp.zeros(tmax_all.shape, jnp.int32), dloop, stop,
+          jnp.int32(0), jnp.int32(0))
+      occ_ref[ti] = jnp.where((occluded != 0) & valid, 1, 0)
+      st_ref[ti, 0] = rounds
+      st_ref[ti, 1] = leafs
+      return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+  return kernel
+
+
+# ================================================= two-level (instanced) path
+
+MAX_INSTANCES = 31  # instance-pending bitmask lives in one int32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class InstancedTables:
+    """Concatenated wide tables + per-instance records for the in-kernel
+    two-level traversal.
+
+    One kernel launch traverses the base scene AND every instance: per
+    packet tile the kernel culls instances by world AABB (one slab test
+    each), then walks each surviving instance's BLAS with the rays
+    transformed into its local frame — replacing the per-instance
+    full-pool-width launches of the host-loop fallback (the reference has no
+    instancing at all; main.cu:67-84 bakes transforms into triangles).
+
+    ``wide``: base-scene tables and every unique mesh's tables concatenated
+    (child refs re-offset).  ``root [I] i32``: each instance's BLAS root
+    wide-node.  ``affine [I*18] f32``: per instance 12 world->local affine
+    row floats + 6 world-AABB floats.  Instance 0 is the base scene
+    (identity transform, root 0).
+    """
+
+    wide: WideTables
+    root: jax.Array
+    affine: jax.Array
+
+    @property
+    def num_instances(self) -> int:
+        return self.root.shape[0]
+
+
+def concat_wide_tables(parts):
+    """Concatenate WideTables, re-offsetting child refs.
+
+    Returns ``(tables, node_offsets, leaf_offsets)``.  child_meta packs
+    ``(value << 4) | count``: leaf entries (count > 0) get the leaf-row
+    offset, internal entries (count == 0, value > 0) the node offset;
+    empty slots (0) stay 0 — they are never dereferenced (NaN boxes never
+    hit the slab test).
+    """
+    node_off, leaf_off = [], []
+    nb, cm, ni, lt = [], [], [], []
+    n_nodes = n_leaves = 0
+    for t in parts:
+        node_off.append(n_nodes)
+        leaf_off.append(n_leaves)
+        cmk = np.asarray(t.child_meta)
+        count = cmk & 15
+        value = cmk >> 4
+        value = np.where(count > 0, value + n_leaves,
+                         np.where(value > 0, value + n_nodes, 0))
+        cm.append(((value << 4) | count).astype(np.int32))
+        nb.append(np.asarray(t.node_bounds))
+        ni.append(np.asarray(t.node_info))
+        lt.append(np.asarray(t.leaf_tris))
+        n_nodes += t.num_wide_nodes
+        n_leaves += t.num_leaf_rows
+    tables = WideTables(
+        node_bounds=jnp.asarray(np.concatenate(nb)),
+        child_meta=jnp.asarray(np.concatenate(cm)),
+        node_info=jnp.asarray(np.concatenate(ni)),
+        leaf_tris=jnp.asarray(np.concatenate(lt)),
+    )
+    return tables, node_off, leaf_off
+
+
+def build_instanced_tables(base: WideTables, base_lo, base_hi,
+                           blas_tables, instances) -> InstancedTables | None:
+    """Assemble the two-level kernel tables.
+
+    ``blas_tables``: WideTables per unique mesh; ``instances``: an
+    accel.instancing.InstanceTable.  Returns None when any table is missing
+    or there are too many instances for the pending bitmask.
+    """
+    if base is None or any(t is None for t in blas_tables):
+        return None
+    if 1 + instances.num > MAX_INSTANCES:
+        return None
+    rows = sum(t.num_wide_nodes + t.num_leaf_rows
+               for t in [base] + list(blas_tables))
+    if rows * 512 >= (100 << 20):  # combined tables must fit VMEM
+        return None
+    wide, node_off, _ = concat_wide_tables([base] + list(blas_tables))
+
+    inv = np.asarray(instances.inv, np.float32).reshape(instances.num, 12)
+    lo = np.asarray(instances.aabb_lo, np.float32)
+    hi = np.asarray(instances.aabb_hi, np.float32)
+    ident = np.array([1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0], np.float32)
+
+    n_inst = 1 + instances.num
+    aff = np.zeros((n_inst, 18), np.float32)
+    root = np.zeros(n_inst, np.int32)
+    aff[0, :12] = ident
+    aff[0, 12:15] = np.asarray(base_lo, np.float32)
+    aff[0, 15:18] = np.asarray(base_hi, np.float32)
+    for i in range(instances.num):
+        aff[1 + i, :12] = inv[i]
+        aff[1 + i, 12:15] = lo[i]
+        aff[1 + i, 15:18] = hi[i]
+        root[1 + i] = node_off[1 + instances.mesh_id[i]]
+    return InstancedTables(wide=wide, root=jnp.asarray(root),
+                           affine=jnp.asarray(aff.reshape(-1)))
+
+
+def _world_slab_pre(o, d):
+    eps = float(np.finfo(np.float32).eps)
+    safe = tuple(jnp.where(jnp.abs(dk) < eps, jnp.copysign(eps, dk), dk)
+                 for dk in d)
+    inv = tuple(1.0 / dk for dk in safe)
+    sc = tuple(-ok * ik for ok, ik in zip(o, inv))
+    md = tuple(jnp.sum(dk) for dk in d)
+    octant = ((md[0] < 0).astype(jnp.int32)
+              | ((md[1] < 0).astype(jnp.int32) << 1)
+              | ((md[2] < 0).astype(jnp.int32) << 2))
+    return inv, sc, octant
+
+
+def _pending_instances(ai_ref, num_inst, inv_w, sc_w, tmax):
+    """Bitmask of instances whose world AABB is hit by any lane."""
+
+    def body(k, pm):
+        # AABB stored (lo3, hi3) — exactly _slab's bound order
+        b = tuple(ai_ref[18 * k + 12 + j] for j in range(6))
+        hk = _slab(b, inv_w, sc_w, tmax)
+        return pm | (jnp.any(hk).astype(jnp.int32) << k)
+
+    return jax.lax.fori_loop(0, num_inst, body, jnp.int32(0))
+
+
+def _inst_local_rays(ai_ref, k, o_w, d_w):
+    """Transform the packet into instance k's local frame (12 scalar affine
+    rows broadcast against the ray vectors).  The local direction is NOT
+    normalized, so the ray parameter t stays in world units and one tmax
+    prunes across instances."""
+    A = tuple(ai_ref[18 * k + j] for j in range(12))
+    o_l = (A[0] * o_w[0] + A[1] * o_w[1] + A[2] * o_w[2] + A[3],
+           A[4] * o_w[0] + A[5] * o_w[1] + A[6] * o_w[2] + A[7],
+           A[8] * o_w[0] + A[9] * o_w[1] + A[10] * o_w[2] + A[11])
+    d_l = (A[0] * d_w[0] + A[1] * d_w[1] + A[2] * d_w[2],
+           A[4] * d_w[0] + A[5] * d_w[1] + A[6] * d_w[2],
+           A[8] * d_w[0] + A[9] * d_w[1] + A[10] * d_w[2])
+    inv, sc, octant = _world_slab_pre(o_l, d_l)
+    return o_l, d_l, inv, sc, octant
+
+
+def _closest_inst_kernel(o_ref, d_ref, t_ref, act_ref, root_ref, ai_ref,
+                         ni_ref, cm_ref, nb_ref, lt_ref,
+                         hit_ref, tout_ref, u_ref, v_ref, prim_ref, inst_ref,
+                         nx_ref, ny_ref, nz_ref, st_ref, stack_ref, q_ref):
+  """Two-level wide closest-hit (see InstancedTables).  Outputs add
+  ``inst_ref``: the winning instance per lane (0 = base scene); normals are
+  LOCAL-frame (the caller applies the instance's cofactor transform)."""
+  n_tiles = hit_ref.shape[0]
+  num_inst = root_ref.shape[0]
+
+  def tile_body(ti, _):
+    o_w = (o_ref[ti, 0], o_ref[ti, 1], o_ref[ti, 2])
+    d_w = (d_ref[ti, 0], d_ref[ti, 1], d_ref[ti, 2])
+    valid = act_ref[ti] != 0
+    tmax = jnp.where(valid, t_ref[ti], -BIG)
+    stack_ref[0] = 0  # see _closest_kernel: speculative pop reads slot 0
+    refs = (nb_ref, cm_ref, ni_ref, stack_ref, q_ref)
+
+    inv_w, sc_w, _ = _world_slab_pre(o_w, d_w)
+    pending = _pending_instances(ai_ref, num_inst, inv_w, sc_w, tmax)
+
+    shape = tmax.shape
+    ds0 = (jnp.full(shape, BIG, jnp.float32), jnp.zeros(shape, jnp.float32),
+           jnp.zeros(shape, jnp.float32), jnp.full(shape, -1, jnp.int32),
+           jnp.zeros(shape, jnp.int32), (jnp.zeros(shape, jnp.float32),) * 3)
+
+    def inst_body(c):
+        pending, rounds, leafs, tmax, ds = c
+        k = _ctz(pending)
+        o_l, d_l, inv, sc, octant = _inst_local_rays(ai_ref, k, o_w, d_w)
+        dloop = _simple_drain_loop(q_ref, lt_ref,
+                                   _closest_drain(o_l, d_l, inst_id=k))
+        rounds, leafs, tmax, ds = _run_walk(
+            refs, inv, sc, octant, root_ref[k], tmax, ds, dloop, _never,
+            rounds, leafs)
+        return pending & (pending - 1), rounds, leafs, tmax, ds
+
+    out = jax.lax.while_loop(lambda c: c[0] != 0, inst_body,
+                             (pending, jnp.int32(0), jnp.int32(0), tmax, ds0))
+    _, rounds, leafs, _, ds = out
+    t, u, v, prim, inst, n3 = ds
     hit = (prim >= 0) & valid
     hit_ref[ti] = hit.astype(jnp.int32)
     tout_ref[ti] = t
     u_ref[ti] = u
     v_ref[ti] = v
     prim_ref[ti] = jnp.where(hit, prim, -1)
+    inst_ref[ti] = jnp.where(hit, inst, 0)
     nx_ref[ti] = n3[0]
     ny_ref[ti] = n3[1]
     nz_ref[ti] = n3[2]
@@ -530,70 +890,48 @@ def _closest_kernel(o_ref, d_ref, t_ref, act_ref, ni_ref, cm_ref, nb_ref,
   jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
-def _anyhit_kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, ni_ref, cm_ref,
-                   nb_ref, lt_ref, occ_ref, st_ref, stack_ref, q_ref):
-  """Wide any-hit with excluded prim id; early exit between drains once every
-  valid lane is occluded (bvh.cuh:318,328).  ``st_ref``: see
-  _closest_kernel."""
+def _anyhit_inst_kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, root_ref,
+                        ai_ref, ni_ref, cm_ref, nb_ref, lt_ref, occ_ref,
+                        st_ref, stack_ref, q_ref):
+  """Two-level wide any-hit.  The excluded prim id applies only within the
+  base scene (instance 0) — shadow-ray light exclusion targets base-scene
+  triangles (lights cannot be instanced)."""
   n_tiles = occ_ref.shape[0]
+  num_inst = root_ref.shape[0]
 
   def tile_body(ti, _):
-    o, d, inv, sc, tmax0, octant = _ray_setup(o_ref, d_ref, t_ref, ti)
+    o_w = (o_ref[ti, 0], o_ref[ti, 1], o_ref[ti, 2])
+    d_w = (d_ref[ti, 0], d_ref[ti, 1], d_ref[ti, 2])
     valid = act_ref[ti] != 0
     exclude = ex_ref[ti]
-    tmax_all = jnp.where(valid, tmax0, -BIG)
-    any_valid = jnp.any(valid)
-
-    stack_ref[0] = 0  # see _closest_kernel: speculative pop reads slot 0
-
+    tmax_all = jnp.where(valid, t_ref[ti], -BIG)
+    stack_ref[0] = 0
     refs = (nb_ref, cm_ref, ni_ref, stack_ref, q_ref)
-    curs0 = (jnp.where(any_valid, 0, IDLE),) + \
-        tuple(jnp.int32(IDLE) for _ in range(NUM_WALKS - 1))
 
-    def outer_cond(carry):
-        curs, sp, qn, done = carry[0], carry[1], carry[2], carry[6]
-        return ~done & (_alive(curs, sp) | (qn > 0))
+    inv_w, sc_w, _ = _world_slab_pre(o_w, d_w)
+    pending = _pending_instances(ai_ref, num_inst, inv_w, sc_w, tmax_all)
+    stop = lambda occ: jnp.all((occ != 0) | ~valid)
+    no_excl = jnp.full(exclude.shape, -1, jnp.int32)
 
-    def outer_body(carry):
-        curs, sp, qn, rounds, leafs, occluded, done = carry
-        tmax = jnp.where(occluded != 0, -BIG, tmax_all)
+    def inst_body(c):
+        pending, rounds, leafs, tmax, occ = c
+        k = _ctz(pending)
+        o_l, d_l, inv, sc, octant = _inst_local_rays(ai_ref, k, o_w, d_w)
+        ex_k = jnp.where(k == 0, exclude, no_excl)
+        dloop = _simple_drain_loop(q_ref, lt_ref,
+                                   _anyhit_drain(o_l, d_l, ex_k))
+        rounds, leafs, tmax, occ = _run_walk(
+            refs, inv, sc, octant, root_ref[k], tmax, occ, dloop, stop,
+            rounds, leafs)
+        return pending & (pending - 1), rounds, leafs, tmax, occ
 
-        def walk_cond(c2):
-            curs, sp, qn, _ = c2
-            return _alive(curs, sp) & (qn <= QUEUE_CAP - WIDTH)
-
-        def walk_body(c2):
-            curs, sp, qn, rounds = c2
-            new = []
-            for w in range(NUM_WALKS):
-                cw, sp, qn = _walk_step(curs[w], sp, qn, tmax, refs, inv,
-                                        sc, octant)
-                new.append(cw)
-            return tuple(new), sp, qn, rounds + 1
-
-        curs, sp, qn, rounds = jax.lax.while_loop(walk_cond, walk_body,
-                                                  (curs, sp, qn, rounds))
-        leafs = leafs + qn
-
-        def drain_body(c2):
-            qi, occluded = c2
-            meta = q_ref[qi]
-            row_b = jnp.broadcast_to(lt_ref[pl.ds(meta >> 4, 1), :],
-                                     (SUBLANES, 128))
-            h = _mt8_any(row_b, o, d, tmax, exclude) & ((meta & 15) > 0)
-            return qi + 1, occluded | h.astype(jnp.int32)
-
-        _, occluded = jax.lax.while_loop(lambda c2: c2[0] < qn, drain_body,
-                                         (jnp.int32(0), occluded))
-        done = jnp.all((occluded != 0) | ~valid)
-        return curs, sp, jnp.int32(0), rounds, leafs, occluded, done
-
-    init = (curs0, jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-            jnp.zeros(tmax_all.shape, jnp.int32), ~any_valid)
-    out = jax.lax.while_loop(outer_cond, outer_body, init)
-    occ_ref[ti] = jnp.where((out[5] != 0) & valid, 1, 0)
-    st_ref[ti, 0] = out[3]
-    st_ref[ti, 1] = out[4]
+    out = jax.lax.while_loop(
+        lambda c: (c[0] != 0) & ~stop(c[4]), inst_body,
+        (pending, jnp.int32(0), jnp.int32(0), tmax_all,
+         jnp.zeros(tmax_all.shape, jnp.int32)))
+    occ_ref[ti] = jnp.where((out[4] != 0) & valid, 1, 0)
+    st_ref[ti, 0] = out[1]
+    st_ref[ti, 1] = out[2]
     return 0
 
   jax.lax.fori_loop(0, n_tiles, tile_body, 0)
@@ -620,22 +958,32 @@ _VMEM = pl.BlockSpec(memory_space=pltpu.VMEM)
 _SMEM = pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-def _vmem_limit(tables: WideTables, n_rays: int) -> int:
-    table_bytes = (tables.node_bounds.shape[0]
-                   + tables.leaf_tris.shape[0]) * 128 * 4
+def _vmem_limit(tables: WideTables, n_rays: int,
+                leaf_hbm: bool = False) -> int:
+    rows = tables.node_bounds.shape[0]
+    if not leaf_hbm:
+        rows += tables.leaf_tris.shape[0]
+    table_bytes = rows * 128 * 4
     ray_bytes = n_rays * 4 * 14
     return min(int((table_bytes + ray_bytes) * 1.25) + (4 << 20), 127 << 20)
 
 
-def _scratch():
-    return [pltpu.SMEM((STACK_SIZE,), jnp.int32),
-            pltpu.SMEM((Q_ALLOC,), jnp.int32)]
+def _scratch(leaf_hbm: bool = False):
+    s = [pltpu.SMEM((STACK_SIZE,), jnp.int32),
+         pltpu.SMEM((Q_ALLOC,), jnp.int32)]
+    if leaf_hbm:
+        s += [pltpu.VMEM((DMA_DEPTH, 1, 128), jnp.float32),
+              pltpu.SemaphoreType.DMA((DMA_DEPTH,))]
+    return s
 
 
-@partial(jax.jit, static_argnames=("interpret", "with_stats"))
+_HBM = pl.BlockSpec(memory_space=pl.ANY)
+
+
+@partial(jax.jit, static_argnames=("interpret", "with_stats", "leaf_hbm"))
 def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
                           active, interpret: bool = False,
-                          with_stats: bool = False):
+                          with_stats: bool = False, leaf_hbm: bool = False):
     """Wide-BVH packet closest-hit traversal.
 
     Same contract as traversal.traverse_closest: returns
@@ -644,7 +992,8 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
     (cross(e1, e2), triangle.cuh:19) — zero on miss.  With
     ``with_stats=True`` a trailing ``(walk_rounds, leaf_visits)`` int32
     scalar pair is appended (summed over tiles; a walk round = NUM_WALKS
-    wide-node steps, idle walks included).
+    wide-node steps, idle walks included).  ``leaf_hbm`` keeps the leaf
+    table in HBM and streams rows per visit (big-scene mode).
     """
     n = origin.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
@@ -657,8 +1006,9 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
 
     shp = (n_tiles, SUBLANES, 128)
     hit, t, u, v, prim, nx, ny, nz, st = pl.pallas_call(
-        _closest_kernel,
-        in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _VMEM, _VMEM],
+        _make_closest_kernel(leaf_hbm),
+        in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _VMEM,
+                  _HBM if leaf_hbm else _VMEM],
         out_specs=[_VMEM] * 8 + [_SMEM],
         out_shape=[jax.ShapeDtypeStruct(shp, jnp.int32),
                    jax.ShapeDtypeStruct(shp, jnp.float32),
@@ -669,9 +1019,9 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
                    jax.ShapeDtypeStruct(shp, jnp.float32),
                    jax.ShapeDtypeStruct(shp, jnp.float32),
                    jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32)],
-        scratch_shapes=_scratch(),
+        scratch_shapes=_scratch(leaf_hbm),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(tables, n_pad)),
+            vmem_limit_bytes=_vmem_limit(tables, n_pad, leaf_hbm)),
         interpret=interpret,
     )(o, d, tm, act, tables.node_info, tables.child_meta,
       tables.node_bounds, tables.leaf_tris)
@@ -684,10 +1034,10 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
     return out
 
 
-@partial(jax.jit, static_argnames=("interpret", "with_stats"))
+@partial(jax.jit, static_argnames=("interpret", "with_stats", "leaf_hbm"))
 def wide_traverse_anyhit(tables: WideTables, origin, direction, tmax,
                          exclude, active, interpret: bool = False,
-                         with_stats: bool = False):
+                         with_stats: bool = False, leaf_hbm: bool = False):
     """Wide-BVH packet any-hit traversal (occlusion with prim exclusion).
 
     With ``with_stats=True`` returns ``(occluded, (walk_rounds,
@@ -703,18 +1053,110 @@ def wide_traverse_anyhit(tables: WideTables, origin, direction, tmax,
     ex = _scalar_tiles(_pad(exclude, n_pad, -1), n_tiles)
 
     occ, st = pl.pallas_call(
-        _anyhit_kernel,
+        _make_anyhit_kernel(leaf_hbm),
         in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _VMEM,
-                  _VMEM],
+                  _HBM if leaf_hbm else _VMEM],
+        out_specs=[_VMEM, _SMEM],
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, SUBLANES, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32)],
+        scratch_shapes=_scratch(leaf_hbm),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(tables, n_pad, leaf_hbm)),
+        interpret=interpret,
+    )(o, d, tm, act, ex, tables.node_info, tables.child_meta,
+      tables.node_bounds, tables.leaf_tris)
+    occluded = occ.reshape(n_pad)[:n] != 0
+    if with_stats:
+        return occluded, (jnp.sum(st[:, 0]), jnp.sum(st[:, 1]))
+    return occluded
+
+
+@partial(jax.jit, static_argnames=("interpret", "with_stats"))
+def wide_traverse_closest_inst(tabs: InstancedTables, origin, direction,
+                               tmax, active, interpret: bool = False,
+                               with_stats: bool = False):
+    """Two-level closest-hit over base scene + all instances in ONE launch.
+
+    Returns ``(hit, t, u, v, prim, inst, normal_local)``: ``inst`` is 0 for
+    base-scene hits and k for instance k (1-based, matching the engine's
+    ``src``); ``prim`` is the triangle index within that instance's mesh;
+    ``normal_local`` is the hit triangle's unnormalized geometric normal in
+    the instance's LOCAL frame — apply the instance cofactor transform for
+    world space.  ``with_stats`` appends ``(walk_rounds, leaf_visits)``.
+    """
+    n = origin.shape[0]
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    n_tiles = n_pad // TILE
+
+    o = _to_tiles(_pad(origin, n_pad, 0.0), n_tiles)
+    d = _to_tiles(_pad(direction, n_pad, 1.0), n_tiles)
+    tm = _scalar_tiles(_pad(tmax, n_pad, 0.0), n_tiles)
+    act = _scalar_tiles(_pad(active.astype(jnp.int32), n_pad, 0), n_tiles)
+
+    shp = (n_tiles, SUBLANES, 128)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        _closest_inst_kernel,
+        in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _SMEM, _SMEM,
+                  _VMEM, _VMEM],
+        out_specs=[_VMEM] * 9 + [_SMEM],
+        out_shape=[jax.ShapeDtypeStruct(shp, jnp.int32),
+                   jax.ShapeDtypeStruct(shp, f32),
+                   jax.ShapeDtypeStruct(shp, f32),
+                   jax.ShapeDtypeStruct(shp, f32),
+                   jax.ShapeDtypeStruct(shp, jnp.int32),
+                   jax.ShapeDtypeStruct(shp, jnp.int32),
+                   jax.ShapeDtypeStruct(shp, f32),
+                   jax.ShapeDtypeStruct(shp, f32),
+                   jax.ShapeDtypeStruct(shp, f32),
+                   jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32)],
+        scratch_shapes=_scratch(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(tabs.wide, n_pad)),
+        interpret=interpret,
+    )(o, d, tm, act, tabs.root, tabs.affine, tabs.wide.node_info,
+      tabs.wide.child_meta, tabs.wide.node_bounds, tabs.wide.leaf_tris)
+    hit, t, u, v, prim, inst, nx, ny, nz, st = outs
+
+    flat = lambda a: a.reshape(n_pad)[:n]
+    normal = jnp.stack([flat(nx), flat(ny), flat(nz)], axis=-1)
+    out = (flat(hit) != 0, flat(t), flat(u), flat(v), flat(prim),
+           flat(inst), normal)
+    if with_stats:
+        out = out + ((jnp.sum(st[:, 0]), jnp.sum(st[:, 1])),)
+    return out
+
+
+@partial(jax.jit, static_argnames=("interpret", "with_stats"))
+def wide_traverse_anyhit_inst(tabs: InstancedTables, origin, direction,
+                              tmax, exclude, active, interpret: bool = False,
+                              with_stats: bool = False):
+    """Two-level any-hit over base scene + all instances in one launch.
+
+    ``exclude`` (base-scene prim id) applies only within instance 0."""
+    n = origin.shape[0]
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    n_tiles = n_pad // TILE
+
+    o = _to_tiles(_pad(origin, n_pad, 0.0), n_tiles)
+    d = _to_tiles(_pad(direction, n_pad, 1.0), n_tiles)
+    tm = _scalar_tiles(_pad(tmax, n_pad, 0.0), n_tiles)
+    act = _scalar_tiles(_pad(active.astype(jnp.int32), n_pad, 0), n_tiles)
+    ex = _scalar_tiles(_pad(exclude, n_pad, -1), n_tiles)
+
+    occ, st = pl.pallas_call(
+        _anyhit_inst_kernel,
+        in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _SMEM,
+                  _SMEM, _VMEM, _VMEM],
         out_specs=[_VMEM, _SMEM],
         out_shape=[jax.ShapeDtypeStruct((n_tiles, SUBLANES, 128), jnp.int32),
                    jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32)],
         scratch_shapes=_scratch(),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(tables, n_pad)),
+            vmem_limit_bytes=_vmem_limit(tabs.wide, n_pad)),
         interpret=interpret,
-    )(o, d, tm, act, ex, tables.node_info, tables.child_meta,
-      tables.node_bounds, tables.leaf_tris)
+    )(o, d, tm, act, ex, tabs.root, tabs.affine, tabs.wide.node_info,
+      tabs.wide.child_meta, tabs.wide.node_bounds, tabs.wide.leaf_tris)
     occluded = occ.reshape(n_pad)[:n] != 0
     if with_stats:
         return occluded, (jnp.sum(st[:, 0]), jnp.sum(st[:, 1]))

@@ -18,7 +18,9 @@ from ..accel.instancing import apply_affine_point, apply_affine_vector
 from ..core import vec
 from ..core.geometry import intersect_aabb, ray_slab_precompute
 from ..kernels.pallas_wide import (wide_traverse_anyhit,
-                                   wide_traverse_closest)
+                                   wide_traverse_anyhit_inst,
+                                   wide_traverse_closest,
+                                   wide_traverse_closest_inst)
 from ..kernels.traversal import traverse_anyhit, traverse_closest
 
 
@@ -31,14 +33,15 @@ def resolve_mode(scene, cfg):
     return mode, interp
 
 
-def _backend(mode, interp, tables, bvh, tris, stack_size, with_stats=False):
+def _backend(mode, interp, tables, bvh, tris, stack_size, with_stats=False,
+             leaf_hbm=False):
     if mode == "pallas":
         assert tables is not None, (
             "traversal='pallas' needs scenes built with max_leaf_size <= 8")
         return (partial(wide_traverse_closest, tables, interpret=interp,
-                        with_stats=with_stats),
+                        with_stats=with_stats, leaf_hbm=leaf_hbm),
                 partial(wide_traverse_anyhit, tables, interpret=interp,
-                        with_stats=with_stats))
+                        with_stats=with_stats, leaf_hbm=leaf_hbm))
     return (partial(traverse_closest, bvh, tris, stack_size=stack_size,
                     with_stats=with_stats),
             partial(traverse_anyhit, bvh, tris, stack_size=stack_size,
@@ -64,14 +67,36 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
     trailing ``(node_steps, leaf_visits)`` pair is appended (summed over the
     base scene and every instance launch).
     """
+    inst = getattr(scene, "instances", None)
+
+    # single-launch two-level fast path: the kernel walks base + all
+    # instances itself (one dispatch, shared tmax pruning) instead of the
+    # per-instance full-pool-width launches below
+    if inst is not None and mode == "pallas" and scene.inst_tables is not None:
+        out = wide_traverse_closest_inst(scene.inst_tables, o, d, tmax,
+                                         active, interpret=interp,
+                                         with_stats=with_stats)
+        hit, t, u, v, prim, src, n_l = out[:7]
+        t = jnp.where(hit, t, tmax)
+        # local->world normal: instance k's cofactor transform (base hits
+        # are already world — identity); K masked matvecs fuse on the VPU
+        n_w = n_l
+        for k in range(inst.num):
+            n_w = jnp.where((src == k + 1)[:, None],
+                            jnp.einsum("ij,nj->ni", inst.nrm[k], n_l,
+                                       precision="highest"), n_w)
+        if with_stats:
+            return (hit, t, u, v, prim, src, n_w, out[7])
+        return hit, t, u, v, prim, src, n_w
+
     closest, _ = _backend(mode, interp, scene.tables, scene.bvh, scene.tris,
-                          cfg.stack_size, with_stats)
+                          cfg.stack_size, with_stats,
+                          getattr(scene, "leaf_hbm", False))
     hit, t, u, v, prim, n_w, *st = closest(o, d, tmax, active)
     t = jnp.where(hit, t, tmax)
     src = jnp.zeros_like(prim)
     steps, leafs = st[0] if with_stats else (0, 0)
 
-    inst = getattr(scene, "instances", None)
     if inst is not None:
         for k in range(inst.num):
             blas = scene.blas[inst.mesh_id[k]]
@@ -86,7 +111,8 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
                 steps, leafs = steps + st2[0][0], leafs + st2[0][1]
             closer = h2 & (t2 < t)
             # cofactor transform = world cross of transformed edges
-            n2_w = jnp.einsum("ij,nj->ni", inst.nrm[k], n2)
+            n2_w = jnp.einsum("ij,nj->ni", inst.nrm[k], n2,
+                              precision="highest")
             t = jnp.where(closer, t2, t)
             u = jnp.where(closer, u2, u)
             v = jnp.where(closer, v2, v)
@@ -108,13 +134,19 @@ def trace_anyhit(scene, cfg, mode, interp, o, d, tmax, exclude, active,
     bvh.cuh:239-248); instanced geometry is never excluded.  With
     ``with_stats=True`` returns ``(occluded, (node_steps, leaf_visits))``.
     """
+    inst = getattr(scene, "instances", None)
+    if inst is not None and mode == "pallas" and scene.inst_tables is not None:
+        return wide_traverse_anyhit_inst(scene.inst_tables, o, d, tmax,
+                                         exclude, active, interpret=interp,
+                                         with_stats=with_stats)
+
     _, anyhit = _backend(mode, interp, scene.tables, scene.bvh, scene.tris,
-                         cfg.stack_size, with_stats)
+                         cfg.stack_size, with_stats,
+                         getattr(scene, "leaf_hbm", False))
     occ = anyhit(o, d, tmax, exclude, active)
     if with_stats:
         occ, (steps, leafs) = occ
 
-    inst = getattr(scene, "instances", None)
     if inst is not None:
         no_excl = jnp.full(o.shape[0], -1, jnp.int32)
         for k in range(inst.num):

@@ -28,8 +28,8 @@ from .transform import Transform
 @partial(jax.tree_util.register_dataclass,
          data_fields=["tris", "bvh", "materials", "lights",
                       "prim_material", "prim_light", "tables",
-                      "env_radiance", "instances", "blas"],
-         meta_fields=["num_lights"])
+                      "env_radiance", "instances", "blas", "inst_tables"],
+         meta_fields=["num_lights", "leaf_hbm"])
 @dataclasses.dataclass(frozen=True)
 class Scene:
     """Device-resident scene: a pytree of dense arrays (scene.cuh:4-8).
@@ -54,7 +54,15 @@ class Scene:
                               # the TODOs at render.cuh:105,243,325)
     instances: object         # InstanceTable for two-level traversal, or None
     blas: tuple               # tuple[MeshBlas] shared bottom-level structures
+    inst_tables: object       # kernels.pallas_wide.InstancedTables: combined
+                              # base+BLAS tables for the single-launch
+                              # two-level Pallas path, or None (falls back to
+                              # the per-instance host loop in render/trace.py)
     num_lights: int           # static
+    leaf_hbm: bool = False    # static: base-scene leaf table stays in HBM
+                              # and the packet kernel streams rows by DMA —
+                              # scenes whose tables exceed VMEM keep the
+                              # Pallas path instead of the XLA fallback
 
 
 class SceneBuilder:
@@ -215,26 +223,39 @@ class SceneBuilder:
         tris = Triangles.from_vertices(p0[perm], p1[perm], p2[perm])
 
         tables = None
-        # packet-kernel tables must fit VMEM (~128 MB on v5e); each wide
-        # node and each leaf costs one 512-byte row (leaves ~= nodes/2,
-        # wide nodes ~= leaves/7).  Oversized scenes fall back to the XLA
-        # traversal (or use instancing to share BLAS memory).
-        est_rows = res.num_nodes // 2 + res.num_nodes // 8 + 16
-        fits_vmem = est_rows * 512 < (100 << 20)
-        if max_leaf_size is not None and max_leaf_size <= 8 and fits_vmem:
+        leaf_hbm = False
+        # packet-kernel residency: each wide node and each leaf costs one
+        # 512-byte row (leaves ~= nodes/2, wide nodes ~= leaves/7).  When
+        # everything fits VMEM (~128 MB on v5e) the kernel keeps both
+        # tables resident; when only the nodes fit, the leaf table stays in
+        # HBM and leaf rows stream by DMA (leaf_hbm); beyond that the XLA
+        # traversal takes over.
+        est_leaf_rows = res.num_nodes // 2 + 16
+        est_node_rows = res.num_nodes // 8 + 16
+        fits_vmem = (est_leaf_rows + est_node_rows) * 512 < (100 << 20)
+        nodes_fit = est_node_rows * 512 < (60 << 20)
+        if max_leaf_size is not None and max_leaf_size <= 8 and nodes_fit:
             from ..kernels.pallas_wide import build_wide_tables
             pp0, pp1, pp2 = p0[perm], p1[perm], p2[perm]
             te1 = pp0 - pp1
             te2 = pp2 - pp0
             tables = build_wide_tables(res, pp0, te1, te2,
                                        np.cross(te1, te2))
+            leaf_hbm = not fits_vmem
 
         instances, blas = self._build_instances(max_depth, max_leaf_size,
                                                 min_leaf_size, builder)
+        inst_tables = None
+        if instances is not None and tables is not None and not leaf_hbm:
+            from ..kernels.pallas_wide import build_instanced_tables
+            inst_tables = build_instanced_tables(
+                tables, bmin.min(0), bmax.max(0),
+                [b.tables for b in blas], instances)
         return Scene(
             tris=tris,
             bvh=res.to_device(),
             tables=tables,
+            inst_tables=inst_tables,
             materials=self.materials.build(),
             lights=make_light_table(self._ltype, self._lpos, self._lemit,
                                     ltri, tris),
@@ -244,6 +265,7 @@ class SceneBuilder:
             instances=instances,
             blas=blas,
             num_lights=len(self._ltype),
+            leaf_hbm=leaf_hbm,
         )
 
     def _build_instances(self, max_depth, max_leaf_size, min_leaf_size,

@@ -1,6 +1,7 @@
 """Wide (BVH8) Pallas packet traversal vs XLA traversal parity
 (interpret mode on CPU) + wide-table structural invariants."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -144,3 +145,41 @@ def test_wide_dead_lanes():
     hp, *_ = wide_traverse_closest(tables, o, d, tmax, active,
                                    interpret=True)
     assert not np.asarray(hp).any()
+
+
+def test_leaf_hbm_streaming_matches_vmem():
+    """leaf_hbm=True (big-scene mode: leaf table in HBM, rows DMA-streamed
+    through a prefetch ring) must produce bitwise-identical results to the
+    VMEM-resident path."""
+    from rtjax import SceneBuilder
+
+    rng = np.random.default_rng(1)
+    b = SceneBuilder()
+    m = b.make_matte((0.5, 0.5, 0.5))
+    c = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+    e = rng.normal(scale=0.15, size=(500, 2, 3)).astype(np.float32)
+    b.add_triangles(c, c + e[:, 0], c + e[:, 1], m)
+    tables = b.build().tables
+
+    n = 2048
+    o = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmax = jnp.full(n, jnp.inf)
+    active = jnp.ones(n, bool)
+    interp = jax.default_backend() != "tpu"
+
+    a = wide_traverse_closest(tables, o, d, tmax, active, interpret=interp)
+    h = wide_traverse_closest(tables, o, d, tmax, active, interpret=interp,
+                              leaf_hbm=True)
+    assert int(np.asarray(a[0]).sum()) > 50
+    for x, y in zip(a, h):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    ex = jnp.full(n, -1, jnp.int32)
+    oa = wide_traverse_anyhit(tables, o, d, jnp.full(n, 1.0), ex, active,
+                              interpret=interp)
+    ob = wide_traverse_anyhit(tables, o, d, jnp.full(n, 1.0), ex, active,
+                              interpret=interp, leaf_hbm=True)
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))

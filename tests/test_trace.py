@@ -138,3 +138,58 @@ def test_instance_normal_nonuniform_scale():
     nn = nn / np.linalg.norm(nn)
     assert abs(np.dot(nn, tan1)) < 1e-5
     assert abs(np.dot(nn, tan2)) < 1e-5
+
+
+def test_instanced_pallas_matches_xla_random_rays():
+    """The single-launch two-level Pallas kernel (Scene.inst_tables) must
+    agree with the per-instance XLA loop on random rays: same hits, same
+    (src, prim) identity, same occlusion."""
+    b = SceneBuilder()
+    white = b.make_matte((0.7, 0.7, 0.7))
+    red = b.make_matte((0.6, 0.1, 0.1))
+    b.add_triangles([0, 0, 0], [1, 0, 0], [1, 0, -1], white)
+    b.add_triangles([0, 0, 0], [0, 0, -1], [1, 0, -1], white)
+    b.add_area_light([0.3, 0.9, -0.3], [0.7, 0.9, -0.3], [0.7, 0.9, -0.7],
+                     (10, 10, 10), white)
+    v = np.array([[0, 0, 0], [0.2, 0, 0], [0.1, 0, -0.2],
+                  [0.1, 0.25, -0.07]])
+    f = np.array([[0, 1, 3], [1, 2, 3], [2, 0, 3], [0, 1, 2]])
+    mid = b.register_mesh(v, f)
+    for t in [Transform(translate(0.2, 0, -0.3)),
+              Transform(scale(1.5, 1.5, 1.5)).composite(
+                  translate(0.55, 0, -0.55)),
+              Transform(rotate((0, 1, 0), 0.7)).composite(
+                  translate(0.1, 0.2, -0.7))]:
+        b.add_instance(mid, red, t)
+    scene = b.build()
+    assert scene.inst_tables is not None
+
+    cfg = RenderConfig()
+    rng = np.random.default_rng(0)
+    n = 2048
+    o = rng.uniform(-0.3, 1.2, (n, 3)).astype(np.float32)
+    o[:, 1] = np.abs(o[:, 1]) + 0.3
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    tmax = jnp.full(n, jnp.inf)
+    active = jnp.asarray(rng.random(n) > 0.1)
+
+    hx = trace_closest(scene, cfg, "xla", True, o, d, tmax, active)
+    hp = trace_closest(scene, cfg, "pallas", True, o, d, tmax, active)
+    m = np.asarray(hx[0])
+    assert m.sum() > 20, "test scene produced too few hits"
+    np.testing.assert_array_equal(m, np.asarray(hp[0]))
+    np.testing.assert_allclose(np.asarray(hx[1])[m], np.asarray(hp[1])[m],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(hx[4])[m], np.asarray(hp[4])[m])
+    np.testing.assert_array_equal(np.asarray(hx[5])[m], np.asarray(hp[5])[m])
+    np.testing.assert_allclose(np.asarray(hx[6])[m], np.asarray(hp[6])[m],
+                               rtol=1e-4, atol=1e-6)
+
+    ex = jnp.full(n, -1, jnp.int32)
+    ox = trace_anyhit(scene, cfg, "xla", True, o, d, jnp.full(n, 2.0), ex,
+                      active)
+    op = trace_anyhit(scene, cfg, "pallas", True, o, d, jnp.full(n, 2.0), ex,
+                      active)
+    np.testing.assert_array_equal(np.asarray(ox), np.asarray(op))
