@@ -342,13 +342,18 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
 
     traced = jnp.sum(trace_mask, dtype=jnp.float32)
     if num_lights > 0:
-        occluded = t_anyhit(ah_o, ah_d, ah_tmax, ltri, ah_mask)
-        blocked = t_anyhit(chs_o, chs_d, chs_t, chs_tgt, chs_mask)
+        # both shadow channels ride ONE 2N any-hit launch (they share the
+        # sort order, so each half keeps its tile coherence): half the
+        # dispatches and scene-table DMAs of separate ah/ch launches
+        cat = lambda a, b: jnp.concatenate([a, b])
+        occ2 = t_anyhit(cat(ah_o, chs_o), cat(ah_d, chs_d),
+                        cat(ah_tmax, chs_t), cat(ltri, chs_tgt),
+                        cat(ah_mask, chs_mask))
         if cfg.detailed_stats:
-            occluded, (s1, l1) = occluded
-            blocked, (s2, l2) = blocked
-            node_steps = node_steps + s1 + s2
-            leaf_visits = leaf_visits + l1 + l2
+            occ2, (s1, l1) = occ2
+            node_steps = node_steps + s1
+            leaf_visits = leaf_visits + l1
+        occluded, blocked = occ2[:n], occ2[n:]
         acc = _accum(acc, ah_L, ah_mask & ~occluded)
         acc = _accum(acc, chs_L, chs_mask & ~blocked)
         traced = traced + jnp.sum(ah_mask, dtype=jnp.float32) + \
