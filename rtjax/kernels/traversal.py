@@ -31,7 +31,12 @@ from ..accel.bvh import BvhArrays
 from ..constants import BVH_MAX_DEPTH
 from ..core.geometry import Triangles, intersect_triangle, ray_slab_precompute
 
-_SENTINEL = jnp.int32(-1)
+# numpy, not jnp: a module-level jnp scalar would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize()
+# (multi-host requires init before any backend touch)
+import numpy as np  # noqa: E402
+
+_SENTINEL = np.int32(-1)
 
 
 def _leaf_closest(bvh, tris, origin, direction, enabled, node, state):

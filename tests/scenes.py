@@ -84,3 +84,21 @@ def cornell(light_size=0.3, light_l=(8.0, 8.0, 8.0), extra=None,
     osc = oracle_scene_from_builder(o_p0, o_p1, o_p2, o_alb, o_mt, o_ior,
                                     o_emit)
     return scene, osc
+
+
+def two_tri_box_scene(total_spp=8):
+    """Tiny standalone (scene, camera, cfg) for multi-process tests: a
+    floor + area light, fast enough to render in seconds per CPU device."""
+    from rtjax import RenderConfig
+
+    b = SceneBuilder()
+    white = b.make_matte(COLORS["white"])
+    b.add_triangles([(-2, 0, -2), (2, 0, -2)], [(2, 0, -2), (2, 0, 2)],
+                    [(-2, 0, 2), (-2, 0, 2)], white)
+    b.add_area_light((-0.5, 1.5, -0.5), (0.5, 1.5, -0.5), (0, 1.5, 0.5),
+                     (8.0, 8.0, 8.0), white)
+    scene = b.build()
+    cam = Camera.make((0, 1.2, 3), (0, 0.2, 0), (0, 1, 0), 45.0, 1.0)
+    cfg = RenderConfig(width=24, height=24, num_samples=total_spp,
+                       max_bounces=3, num_working_paths=1 << 11)
+    return scene, cam, cfg
