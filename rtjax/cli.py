@@ -32,6 +32,14 @@ def _add_render_args(p):
                    help="disable ray sorting before packet traversal")
     p.add_argument("--sharded", action="store_true",
                    help="data-parallel over all visible devices")
+    p.add_argument("--reference-parity", action="store_true",
+                   help="replicate the CUDA reference's estimator quirks "
+                        "(see render/wavefront.py deviations 2-4)")
+    p.add_argument("--stats", action="store_true",
+                   help="print detailed stats: bounce histogram + "
+                        "traversal work counters")
+    p.add_argument("--checkpoint", default=None, metavar="FILE.npz",
+                   help="render in spp batches with checkpoint/resume")
     p.add_argument("-o", "--output", default="image.ppm")
 
 
@@ -59,19 +67,37 @@ def cmd_render(args) -> int:
     cfg = RenderConfig(width=args.width, height=args.height,
                        num_samples=args.spp, max_bounces=args.bounces,
                        num_working_paths=args.pool, traversal=args.traversal,
-                       sort_rays=not args.no_sort)
+                       sort_rays=not args.no_sort,
+                       reference_parity=args.reference_parity,
+                       detailed_stats=args.stats, seed=args.seed)
     key = jax.random.key(args.seed)
 
     with profiler.phase("Rendering"):
-        if args.sharded:
+        if args.checkpoint is not None:
+            from .render.checkpoint import render_checkpointed
+            mesh = None
+            if args.sharded:
+                from .parallel import make_mesh
+                mesh = make_mesh()
+            fb = np.asarray(render_checkpointed(scene, camera, cfg,
+                                                args.checkpoint, mesh=mesh))
+            stats = None
+        elif args.sharded:
             from .parallel import render_frame_sharded
             fb, stats = render_frame_sharded(scene, camera, cfg, key)
         else:
             fb, stats = render_frame(scene, camera, cfg, key)
         fb = np.asarray(fb)
-    rays = float(np.asarray(stats["rays_traced"]))
-    print(f"{int(np.asarray(stats['iterations']))} wavefront iterations, "
-          f"{rays:.4g} rays traced")
+    if stats is not None:
+        rays = float(np.asarray(stats["rays_traced"]))
+        print(f"{int(np.asarray(stats['iterations']))} wavefront iterations, "
+              f"{rays:.4g} rays traced")
+        if args.stats and "bounce_histogram" in stats:
+            hist = np.asarray(stats["bounce_histogram"]).tolist()
+            print(f"bounce histogram: {hist}")
+            print(f"traversal: {int(np.asarray(stats['node_steps']))} node "
+                  f"steps, {int(np.asarray(stats['leaf_visits']))} leaf "
+                  f"visits")
 
     with profiler.phase("Writing image"):
         write_ppm(args.output, fb, args.width, args.height)

@@ -192,15 +192,35 @@ def load_ply(path) -> Mesh:
     return Mesh(vertices=vertices, faces=faces)
 
 
-def save_ply(path, mesh: Mesh) -> None:
-    """Write an ASCII PLY (round-trip/debugging utility)."""
-    with open(path, "w") as f:
-        f.write("ply\nformat ascii 1.0\n")
-        f.write(f"element vertex {len(mesh.vertices)}\n")
-        f.write("property float x\nproperty float y\nproperty float z\n")
-        f.write(f"element face {len(mesh.faces)}\n")
-        f.write("property list uchar int vertex_indices\nend_header\n")
-        for v in mesh.vertices:
-            f.write(f"{v[0]} {v[1]} {v[2]}\n")
-        for fc in mesh.faces:
-            f.write(f"3 {fc[0]} {fc[1]} {fc[2]}\n")
+def save_ply(path, mesh: Mesh, binary: bool = False) -> None:
+    """Write a PLY file (round-trip/debugging utility).
+
+    ``binary=True`` writes binary_little_endian 1.0 — the format of
+    bun_zipper.ply and the other happly.h write surface (happly.h supports
+    ASCII + binary LE/BE write; we cover the two formats actually used).
+    """
+    fmt = "binary_little_endian" if binary else "ascii"
+    header = ("ply\n"
+              f"format {fmt} 1.0\n"
+              f"element vertex {len(mesh.vertices)}\n"
+              "property float x\nproperty float y\nproperty float z\n"
+              f"element face {len(mesh.faces)}\n"
+              "property list uchar int vertex_indices\nend_header\n")
+    if not binary:
+        with open(path, "w") as f:
+            f.write(header)
+            for v in mesh.vertices:
+                f.write(f"{v[0]} {v[1]} {v[2]}\n")
+            for fc in mesh.faces:
+                f.write(f"3 {fc[0]} {fc[1]} {fc[2]}\n")
+        return
+    verts = np.asarray(mesh.vertices, "<f4")
+    faces = np.asarray(mesh.faces, "<i4")
+    # face rows: uchar count 3 + three int32 indices, packed per row
+    frow = np.zeros(len(faces), dtype=[("n", "u1"), ("idx", "<i4", (3,))])
+    frow["n"] = 3
+    frow["idx"] = faces
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(verts.tobytes())
+        f.write(frow.tobytes())

@@ -65,3 +65,17 @@ def test_polygon_fan_triangulation(tmp_path):
     m = load_ply(tmp_path / "q.ply")
     assert m.faces.shape == (2, 3)
     np.testing.assert_array_equal(m.faces, [[0, 1, 2], [0, 2, 3]])
+
+
+def test_save_ply_binary_roundtrip(tmp_path):
+    """Binary LE write (the bun_zipper.ply format) round-trips exactly."""
+    from rtjax.scene.mesh import Mesh, load_ply, save_ply
+
+    v = np.array([[0.5, -1.25, 2.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+                  [0.0, 0.0, 1.0]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    p = tmp_path / "out_bin.ply"
+    save_ply(p, Mesh(vertices=v, faces=f), binary=True)
+    m = load_ply(p)
+    np.testing.assert_array_equal(np.asarray(m.vertices, np.float32), v)
+    np.testing.assert_array_equal(m.faces, f)
