@@ -201,7 +201,8 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     # slots past cam_end become contiguous all-inactive tiles).  All three
     # traversals share this order — the shadow rays originate at the same hit
     # points.  Replaces render.cuh:348-364's CUB queue compaction.
-    if cfg.sort_rays and mode == "pallas":
+    state_sorted = cfg.sort_rays and mode == "pallas"
+    if state_sorted:
         if cfg.sort_key == "prim":
             keys = ray_sort_keys_prim(
                 jnp.where(mat_mask, state.prim, -1), state.ray_d, mat_mask)
@@ -317,9 +318,25 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
 
     # flush the radiance accumulators of slots leaving their pixel: ONE
     # deterministic scatter-add per iteration (replaces the reference's
-    # three atomic-add channels, render.cuh:102,292,322)
+    # three atomic-add channels, render.cuh:102,292,322).  XLA's TPU
+    # scatter costs ~20 ns per update SLOT regardless of value, and after
+    # the sort every flushing (dead) lane sits in a contiguous SUFFIX of
+    # the pool — so scatter only the smallest power-of-two suffix window
+    # covering the dead lanes (full width when unsorted)
     flush = jnp.where(gen_mask[:, None], acc, 0.0)
-    fb = fb.at[pixel].add(flush, mode="drop")
+    if state_sorted and n % 8 == 0:
+        num_dead = (n - jnp.sum(mat_mask)).astype(jnp.int32)
+
+        def _win(w):
+            return lambda fb: fb.at[pixel[n - w:]].add(flush[n - w:],
+                                                       mode="drop")
+
+        level = ((num_dead > n // 8).astype(jnp.int32)
+                 + (num_dead > n // 4) + (num_dead > n // 2))
+        fb = jax.lax.switch(level, [_win(n // 8), _win(n // 4),
+                                    _win(n // 2), _win(n)], fb)
+    else:
+        fb = fb.at[pixel].add(flush, mode="drop")
     acc = jnp.where(gen_mask[:, None], 0.0, acc)
 
     # merge mat-continued and regenerated rays into the path-ray pool

@@ -95,3 +95,22 @@ def test_detailed_stats_counters():
             scene, cam, dataclasses.replace(cfg, detailed_stats=False), key)
         np.testing.assert_array_equal(np.asarray(fb), np.asarray(fb0))
         assert "bounce_histogram" not in st0
+
+
+def test_windowed_flush_loses_no_radiance():
+    """Under the sorted Pallas path the accumulator flush scatters only a
+    suffix window of the pool; with a constant environment light every
+    camera ray carries exactly env radiance, so ANY lost flush shows as a
+    dark pixel.  (Regression for the window/sort gating.)"""
+    b = SceneBuilder()
+    m = b.make_matte((0.5, 0.5, 0.5))
+    b.add_triangles([100, 100, 100], [101, 100, 100], [100, 101, 100], m)
+    b.set_environment((0.49, 0.49, 0.49))
+    scene = b.build()
+    cam = Camera.make((0, 0, 3), (0, 0, 0), (0, 1, 0), 40, 1.0)
+    # pool much smaller than the ray count: many refills, many windows
+    cfg = RenderConfig(width=32, height=32, num_samples=16, max_bounces=3,
+                       num_working_paths=1 << 10, traversal="pallas")
+    fb, _ = render_frame(scene, cam, cfg, jax.random.key(2))
+    img = np.asarray(fb)
+    np.testing.assert_allclose(img, 0.7, atol=1e-5)  # sqrt(0.49)
