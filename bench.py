@@ -33,7 +33,8 @@ def main() -> None:
     height = int(os.environ.get("BENCH_HEIGHT", 256))
     spp = int(os.environ.get("BENCH_SPP", 64))
     bounces = int(os.environ.get("BENCH_BOUNCES", 10))
-    pool = int(os.environ.get("BENCH_POOL", 1 << 17))
+    pool_env = os.environ.get("BENCH_POOL")
+    pool = int(pool_env) if pool_env else None  # None = workload-adaptive
     traversal = os.environ.get("BENCH_TRAVERSAL", "pallas")
 
     t0 = time.time()

@@ -41,7 +41,7 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="reduced resolutions/spp for smoke runs")
     ap.add_argument("--configs", default="1,2,3,4,5")
-    ap.add_argument("--pool", type=int, default=1 << 17)
+    ap.add_argument("--pool", type=int, default=None)
     args = ap.parse_args()
     which = set(int(x) for x in args.configs.split(","))
 

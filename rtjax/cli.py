@@ -23,7 +23,7 @@ def _add_render_args(p):
     p.add_argument("--height", type=int, default=600)
     p.add_argument("--spp", type=int, default=10)
     p.add_argument("--bounces", type=int, default=10)
-    p.add_argument("--pool", type=int, default=1 << 17,
+    p.add_argument("--pool", type=int, default=None,
                    help="wavefront path slots (constant.hpp:8 default 2^20)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--traversal", default="auto",

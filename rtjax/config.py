@@ -18,10 +18,12 @@ class RenderConfig:
     height: int = 600
     num_samples: int = 10          # spp (main.cu:169)
     max_bounces: int = 10          # (main.cu:170)
-    # pool size: the reference uses 2^20 (constant.hpp:8); 2^17 measures
-    # fastest on v5e (full-width stage math scales with the pool while
-    # sorted-dead traversal tiles are nearly free either way)
-    num_working_paths: int = 1 << 17
+    # pool size: the reference uses a fixed 2^20 (constant.hpp:8).  None
+    # (default) adapts to the workload: small frames measure fastest at
+    # 2^17 (per-iteration stage math scales with the pool), big sample
+    # counts at 2^19 (more rays per iteration amortize the per-iteration
+    # fixed costs) — see pool_size.
+    num_working_paths: int | None = None
     rr_start: int = constants.RR_START
     rr_threshold: float = constants.RR_THRESHOLD
     seed: int = constants.RAND_SEED
@@ -49,6 +51,21 @@ class RenderConfig:
     # targeting the surface's own triangle (render.cuh:236).  Used to
     # quantify the fixed estimator's delta vs the CUDA binary's output.
     reference_parity: bool = False
+
+    @property
+    def pool_size(self) -> int:
+        """Effective wavefront pool width.
+
+        Explicit ``num_working_paths`` wins; otherwise the nearest
+        power of two to total_camera_rays/32, clamped to [2^17, 2^19]
+        (measured sweet spots on v5e — benchmarks/RESULTS.md).
+        """
+        if self.num_working_paths is not None:
+            return self.num_working_paths
+        n = 1 << 17
+        while n < (1 << 19) and n * 32 < self.total_camera_rays:
+            n <<= 1
+        return n
 
     @property
     def num_pixels(self) -> int:

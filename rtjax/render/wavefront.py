@@ -324,17 +324,22 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     # the pool — so scatter only the smallest power-of-two suffix window
     # covering the dead lanes (full width when unsorted)
     flush = jnp.where(gen_mask[:, None], acc, 0.0)
-    if state_sorted and n % 8 == 0:
-        num_dead = (n - jnp.sum(mat_mask)).astype(jnp.int32)
+    if state_sorted and n % 4 == 0:
+        # scatter only the quarter-chunks that overlap the dead suffix:
+        # chunk c holds flushes iff its end reaches past the live prefix
+        csz = n // 4
+        num_mat_i = jnp.sum(mat_mask).astype(jnp.int32)
 
-        def _win(w):
-            return lambda fb: fb.at[pixel[n - w:]].add(flush[n - w:],
-                                                       mode="drop")
+        def flush_chunk(c, fb):
+            def do(fb):
+                vals = jax.lax.dynamic_slice_in_dim(flush, c * csz, csz)
+                pix = jax.lax.dynamic_slice_in_dim(pixel, c * csz, csz)
+                return fb.at[pix].add(vals, mode="drop")
 
-        level = ((num_dead > n // 8).astype(jnp.int32)
-                 + (num_dead > n // 4) + (num_dead > n // 2))
-        fb = jax.lax.switch(level, [_win(n // 8), _win(n // 4),
-                                    _win(n // 2), _win(n)], fb)
+            return jax.lax.cond((c + 1) * csz > num_mat_i, do,
+                                lambda fb: fb, fb)
+
+        fb = jax.lax.fori_loop(0, 4, flush_chunk, fb)
     else:
         fb = fb.at[pixel].add(flush, mode="drop")
     acc = jnp.where(gen_mask[:, None], 0.0, acc)
@@ -411,7 +416,7 @@ def render_frame_linear(scene: Scene, camera: Camera, cfg: RenderConfig, key):
     spp, no gamma).  Multi-chip rendering psums these linear buffers across
     the mesh before normalizing once (rtjax.parallel.sharding).
     """
-    n = cfg.num_working_paths
+    n = cfg.pool_size
     state = make_initial_state(n)
     fb = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
     carry = (state, fb, jnp.int32(0), jnp.int32(0), jnp.bool_(False),
