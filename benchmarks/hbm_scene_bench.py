@@ -80,10 +80,10 @@ def main():
                       os.environ.get("JAX_CACHE_DIR",
                                      "/tmp/rtjax-jit-cache-tpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    small = run("VMEM-resident", 16)       # ~1.1M tris, fits
-    big = run("HBM-streamed", 36)          # ~2.5M tris, leaf table > VMEM
+    small = run("VMEM-resident", 8)        # ~560k tris, fits VMEM
+    big = run("HBM-streamed", 16)          # ~1.1M tris, leaf table > VMEM
     print(f"ratio (VMEM/HBM rate): {small/big:.2f}x "
-          f"(target: within 2-3x despite 2.2x more triangles)")
+          f"(target: within 2-3x despite 2x more triangles)")
 
 
 if __name__ == "__main__":

@@ -60,6 +60,9 @@ NUM_WALKS = 3
 Q_ALLOC = QUEUE_CAP + NUM_WALKS * WIDTH
 BIG = 3.4e38
 IDLE = -1
+META_BASE = 6 * WIDTH  # bounds-row lanes 48..55: child meta as f32
+INFO_LANE = META_BASE + WIDTH  # lane 56: node info as f32
+SMEM_META_CAP = 768 << 10  # child_meta+node_info bytes that may live in SMEM
 
 
 # ============================================================ host-side build
@@ -93,6 +96,13 @@ class WideTables:
     def num_leaf_rows(self) -> int:
         return self.leaf_tris.shape[0]
 
+    def device(self) -> "WideTables":
+        """jnp-ify (host-built tables are numpy until placed)."""
+        return WideTables(node_bounds=jnp.asarray(self.node_bounds),
+                          child_meta=jnp.asarray(self.child_meta),
+                          node_info=jnp.asarray(self.node_info),
+                          leaf_tris=jnp.asarray(self.leaf_tris))
+
 
 def _half_area(bmin, bmax):
     d = np.maximum(bmax - bmin, 0)
@@ -110,10 +120,27 @@ def collapse_wide(bmin, bmax, left_first, num_prims, width=WIDTH):
     ``(bin_node, ref, is_leaf)`` per wide node i sorted along the dominant
     axis, where ``ref`` is the wide node index (internal) or the binary node
     id (leaf); ``axes[i]`` is the sort axis.
+
+    Per-node metrics (half area, centers) are precomputed vectorized and
+    the inner loops run on plain Python scalars: a per-group numpy-call
+    version took ~10 min at 1M triangles, this takes seconds (decisions
+    are identical — f32 values compare the same as exact f64 converts).
     """
-    is_leaf = np.asarray(num_prims) > 0
-    if is_leaf[0]:
+    is_leaf_a = np.asarray(num_prims) > 0
+    if is_leaf_a[0]:
         return [[(0, 0, True)]], [0]
+
+    bmin = np.asarray(bmin, np.float32)
+    bmax = np.asarray(bmax, np.float32)
+    d = np.maximum(bmax - bmin, 0)
+    area = (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2]
+            + d[:, 2] * d[:, 0]).tolist()
+    cent = (0.5 * (bmin + bmax))
+    cx, cy, cz = (cent[:, 0].tolist(), cent[:, 1].tolist(),
+                  cent[:, 2].tolist())
+    cents = (cx, cy, cz)
+    left = np.asarray(left_first).tolist()
+    is_leaf = is_leaf_a.tolist()
 
     children: list[list[tuple[int, int, bool]]] = []
     axes: list[int] = []
@@ -122,21 +149,21 @@ def collapse_wide(bmin, bmax, left_first, num_prims, width=WIDTH):
     axes.append(0)
     while pending:
         b, wi = pending.pop()
-        grp = [int(left_first[b]), int(left_first[b]) + 1]
+        grp = [left[b], left[b] + 1]
         while len(grp) < width:
             best, best_a = -1, -1.0
             for j, g in enumerate(grp):
-                if not is_leaf[g]:
-                    a = _half_area(bmin[g], bmax[g])
-                    if a > best_a:
-                        best, best_a = j, a
+                if not is_leaf[g] and area[g] > best_a:
+                    best, best_a = j, area[g]
             if best < 0:
                 break
             g = grp.pop(best)
-            grp.extend((int(left_first[g]), int(left_first[g]) + 1))
-        cent = 0.5 * (bmin[grp] + bmax[grp])
-        axis = int(np.argmax(cent.max(0) - cent.min(0)))
-        grp = [grp[k] for k in np.argsort(cent[:, axis], kind="stable")]
+            grp.extend((left[g], left[g] + 1))
+        spans = [max(c[g] for g in grp) - min(c[g] for g in grp)
+                 for c in cents]
+        axis = spans.index(max(spans))
+        ca = cents[axis]
+        grp.sort(key=lambda g: ca[g])  # list.sort is stable
 
         entry = []
         for g in grp:
@@ -190,9 +217,14 @@ def pack_leaf_rows(leaves, left_first, num_prims, p0, e1, e2, n_vec,
 
 
 def build_wide_tables(res: BuildResult, p0, e1, e2, n_vec,
-                      prim_ids=None) -> WideTables:
+                      prim_ids=None, as_numpy=False) -> WideTables:
     """Collapse a binary BuildResult + leaf-ordered triangles into wide
-    kernel tables."""
+    kernel tables.
+
+    ``as_numpy=True`` keeps the tables host-side (call ``.device()`` to
+    place them) — building on numpy avoids device round-trips when tables
+    are post-processed (concat_wide_tables), which cost minutes through a
+    remote-TPU tunnel."""
     m = res.num_nodes
     bmin = np.asarray(res.bmin[:m], np.float32)
     bmax = np.asarray(res.bmax[:m], np.float32)
@@ -210,26 +242,45 @@ def build_wide_tables(res: BuildResult, p0, e1, e2, n_vec,
     node_bounds = np.full((n_wide, 128), np.nan, np.float32)
     child_meta = np.zeros((n_wide, WIDTH), np.int32)
     node_info = np.zeros(n_wide, np.int32)
+    # flatten the (node, child) fill into vectorized scatters (a per-slice
+    # python loop cost ~90 s at 1M tris)
+    fi, fc, fg, fm, flm = [], [], [], [], np.zeros(n_wide, np.int64)
     for i, grp in enumerate(children):
         lm = 0
         for c, (g, ref, lf) in enumerate(grp):
-            node_bounds[i, 6 * c:6 * c + 3] = bmin[g]
-            node_bounds[i, 6 * c + 3:6 * c + 6] = bmax[g]
+            fi.append(i)
+            fc.append(c)
+            fg.append(g)
             if lf:
                 lm |= 1 << c
-                child_meta[i, c] = (leaf_row_of[g] << 4) | int(num_prims[g])
+                fm.append((leaf_row_of[g] << 4) | int(num_prims[g]))
             else:
-                child_meta[i, c] = ref << 4
+                fm.append(ref << 4)
         for c in range(len(grp), WIDTH):
             lm |= 1 << c  # empty: leaf-marked, count 0, NaN box never hits
-        node_info[i] = (axes[i] << 8) | lm
+        flm[i] = lm
+    fi = np.asarray(fi); fc = np.asarray(fc); fg = np.asarray(fg)
+    lo = np.asarray(bmin, np.float32)[fg]
+    hi = np.asarray(bmax, np.float32)[fg]
+    for k in range(3):
+        node_bounds[fi, 6 * fc + k] = lo[:, k]
+        node_bounds[fi, 6 * fc + 3 + k] = hi[:, k]
+    child_meta[fi, fc] = np.asarray(fm, np.int32)
+    node_info[:] = (np.asarray(axes, np.int64) << 8) | flm
 
-    return WideTables(
-        node_bounds=jnp.asarray(node_bounds),
-        child_meta=jnp.asarray(child_meta.reshape(-1)),
-        node_info=jnp.asarray(node_info),
-        leaf_tris=jnp.asarray(leaf_tris),
-    )
+    # meta mirrored into spare bounds-row lanes (exact int-valued f32):
+    # big scenes whose child_meta/node_info would overflow SMEM read these
+    # via static-lane scalar VMEM loads instead (meta_vmem kernel mode)
+    assert n_wide < (1 << 20) and len(leaf_nodes) < (1 << 20), \
+        "meta refs must stay exact as f32 (< 2^24 after << 4)"
+    node_bounds[:, META_BASE:META_BASE + WIDTH] = child_meta.astype(np.float32)
+    node_bounds[:, INFO_LANE] = node_info.astype(np.float32)
+
+    out = WideTables(node_bounds=node_bounds,
+                     child_meta=child_meta.reshape(-1),
+                     node_info=node_info,
+                     leaf_tris=leaf_tris)
+    return out if as_numpy else out.device()
 
 
 # ============================================================= device kernel
@@ -358,6 +409,46 @@ def _mt8_any(row_b, o, d, tmax, exclude):
     return hit_any
 
 
+def _smem_meta(cm_ref, ni_ref):
+    """Meta accessors over the SMEM tables (fast path): direct dynamic
+    indexing."""
+
+    def cm_at(node):
+        return lambda c: cm_ref[node * WIDTH + c]
+
+    def info_read(node):
+        return ni_ref[node]
+
+    return cm_at, info_read
+
+
+def _vmem_meta(nb_ref):
+    """Meta accessors over the bounds-row mirror lanes (big-scene path).
+
+    Scalar VMEM loads need STATIC lane indices (Mosaic), so a node's 8
+    child metas are loaded up front from lanes META_BASE..+7 and a dynamic
+    child pick becomes a select chain.  Frees SMEM of all per-node data —
+    the scene size cap moves from ~1 MB SMEM to the VMEM node-row budget.
+    """
+
+    def cm_at(node):
+        ms = [nb_ref[node, META_BASE + c].astype(jnp.int32)
+              for c in range(WIDTH)]
+
+        def read(c):
+            v = ms[WIDTH - 1]
+            for k in range(WIDTH - 2, -1, -1):
+                v = jnp.where(c == k, ms[k], v)
+            return v
+
+        return read
+
+    def info_read(node):
+        return nb_ref[node, INFO_LANE].astype(jnp.int32)
+
+    return cm_at, info_read
+
+
 def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant):
     """One branch-free step of one walk: slab 8 children of its cursor,
     queue leaf hits, descend/push/pop on the shared stack.
@@ -366,7 +457,7 @@ def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant):
     its hit mask forced to 0, then steals from the shared stack (pop path).
     Returns (new_cur, new_sp, new_qn).
     """
-    nb_ref, cm_ref, ni_ref, stack_ref, q_ref = refs
+    nb_ref, cm_at, info_read, stack_ref, q_ref = refs
     active = cur != IDLE
     node = jnp.maximum(cur, 0)
 
@@ -376,17 +467,18 @@ def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant):
     hits = [_slab(b[6 * c:6 * c + 6], inv, sc, tmax) for c in range(WIDTH)]
     mask = jnp.where(active, _hit_mask8(hits), 0)
 
-    info = ni_ref[node]
+    info = info_read(node)
     lm = info & 255
     axis = (info >> 8) & 3
     rev = (octant >> axis) & 1
     leaf_hits = mask & lm
     int_hits = mask & ~lm & 255
+    cm_node = cm_at(node)
 
     # append leaf metas to the drain queue (scalar-only loop, trips 0..8)
     def q_body(c2):
         lh, q = c2
-        q_ref[q] = cm_ref[node * WIDTH + _ctz(lh)]
+        q_ref[q] = cm_node(_ctz(lh))
         return lh & (lh - 1), q + 1
 
     _, qn = jax.lax.while_loop(lambda c2: c2[0] != 0, q_body,
@@ -401,7 +493,7 @@ def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant):
     def _():
         stack_ref[sp] = (node << 9) | (rest << 1) | rev
     sp = jnp.where(has & (rest != 0), sp + 1, sp)
-    nxt_direct = cm_ref[node * WIDTH + first] >> 4
+    nxt_direct = cm_node(first) >> 4
 
     # pop path (work stealing): take one child off the top entry, write the
     # remainder back in place (or retire the entry)
@@ -418,7 +510,7 @@ def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant):
     def _():
         stack_ref[sp - 1] = (pnode << 9) | (prest << 1) | prev
     sp = jnp.where(do_pop & (prest == 0), sp - 1, sp)
-    nxt_pop = cm_ref[pnode * WIDTH + pfirst] >> 4
+    nxt_pop = cm_at(pnode)(pfirst) >> 4
 
     new_cur = jnp.where(has, nxt_direct,
                         jnp.where(do_pop, nxt_pop, IDLE))
@@ -586,7 +678,7 @@ def _anyhit_drain(o, d, exclude):
     return drain
 
 
-def _make_closest_kernel(leaf_hbm: bool):
+def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False):
   """Wide closest-hit kernel: in-kernel tile loop (tables DMA'd once), per
   tile an outer loop alternating walk chunks and leaf-queue drains.
 
@@ -595,11 +687,20 @@ def _make_closest_kernel(leaf_hbm: bool):
   visits — the node-visits observability the reference never had.
 
   With ``leaf_hbm`` the leaf table stays in HBM and drains stream rows
-  through a DMA ring (two extra scratch args)."""
+  through a DMA ring (two extra scratch args); with ``meta_vmem`` the
+  child_meta/node_info SMEM inputs are dropped and meta comes from the
+  bounds-row mirror lanes (see _vmem_meta)."""
 
-  def kernel(o_ref, d_ref, t_ref, act_ref, ni_ref, cm_ref, nb_ref,
-             lt_ref, hit_ref, tout_ref, u_ref, v_ref, prim_ref,
-             nx_ref, ny_ref, nz_ref, st_ref, stack_ref, q_ref, *dma):
+  def kernel(*args):
+    if meta_vmem:
+        o_ref, d_ref, t_ref, act_ref, nb_ref, lt_ref, *rest = args
+        cm_at, info_read = _vmem_meta(nb_ref)
+    else:
+        (o_ref, d_ref, t_ref, act_ref, ni_ref, cm_ref, nb_ref, lt_ref,
+         *rest) = args
+        cm_at, info_read = _smem_meta(cm_ref, ni_ref)
+    (hit_ref, tout_ref, u_ref, v_ref, prim_ref, nx_ref, ny_ref, nz_ref,
+     st_ref, stack_ref, q_ref, *dma) = rest
     n_tiles = hit_ref.shape[0]
 
     def tile_body(ti, _):
@@ -614,7 +715,7 @@ def _make_closest_kernel(leaf_hbm: bool):
       # an out-of-bounds scalar load => device fault)
       stack_ref[0] = 0
 
-      refs = (nb_ref, cm_ref, ni_ref, stack_ref, q_ref)
+      refs = (nb_ref, cm_at, info_read, stack_ref, q_ref)
       drain_fn = _closest_drain(o, d)
       if leaf_hbm:
           dloop = _hbm_drain_loop(q_ref, lt_ref, dma[0], dma[1], drain_fn)
@@ -646,12 +747,19 @@ def _make_closest_kernel(leaf_hbm: bool):
   return kernel
 
 
-def _make_anyhit_kernel(leaf_hbm: bool):
+def _make_anyhit_kernel(leaf_hbm: bool, meta_vmem: bool = False):
   """Wide any-hit kernel with excluded prim id; early exit once every valid
   lane is occluded (bvh.cuh:318,328).  See _make_closest_kernel."""
 
-  def kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, ni_ref, cm_ref,
-             nb_ref, lt_ref, occ_ref, st_ref, stack_ref, q_ref, *dma):
+  def kernel(*args):
+    if meta_vmem:
+        o_ref, d_ref, t_ref, act_ref, ex_ref, nb_ref, lt_ref, *rest = args
+        cm_at, info_read = _vmem_meta(nb_ref)
+    else:
+        (o_ref, d_ref, t_ref, act_ref, ex_ref, ni_ref, cm_ref, nb_ref,
+         lt_ref, *rest) = args
+        cm_at, info_read = _smem_meta(cm_ref, ni_ref)
+    occ_ref, st_ref, stack_ref, q_ref, *dma = rest
     n_tiles = occ_ref.shape[0]
 
     def tile_body(ti, _):
@@ -663,7 +771,7 @@ def _make_anyhit_kernel(leaf_hbm: bool):
 
       stack_ref[0] = 0  # see _make_closest_kernel: speculative pop reads it
 
-      refs = (nb_ref, cm_ref, ni_ref, stack_ref, q_ref)
+      refs = (nb_ref, cm_at, info_read, stack_ref, q_ref)
       drain_fn = _anyhit_drain(o, d, exclude)
       if leaf_hbm:
           dloop = _hbm_drain_loop(q_ref, lt_ref, dma[0], dma[1], drain_fn)
@@ -847,8 +955,9 @@ def _closest_inst_kernel(o_ref, d_ref, t_ref, act_ref, root_ref, ai_ref,
     d_w = (d_ref[ti, 0], d_ref[ti, 1], d_ref[ti, 2])
     valid = act_ref[ti] != 0
     tmax = jnp.where(valid, t_ref[ti], -BIG)
-    stack_ref[0] = 0  # see _closest_kernel: speculative pop reads slot 0
-    refs = (nb_ref, cm_ref, ni_ref, stack_ref, q_ref)
+    stack_ref[0] = 0  # speculative pop reads slot 0 (see _make_closest_kernel)
+    cm_at, info_read = _smem_meta(cm_ref, ni_ref)
+    refs = (nb_ref, cm_at, info_read, stack_ref, q_ref)
 
     inv_w, sc_w, _ = _world_slab_pre(o_w, d_w)
     pending = _pending_instances(ai_ref, num_inst, inv_w, sc_w, tmax)
@@ -906,7 +1015,8 @@ def _anyhit_inst_kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, root_ref,
     exclude = ex_ref[ti]
     tmax_all = jnp.where(valid, t_ref[ti], -BIG)
     stack_ref[0] = 0
-    refs = (nb_ref, cm_ref, ni_ref, stack_ref, q_ref)
+    cm_at, info_read = _smem_meta(cm_ref, ni_ref)
+    refs = (nb_ref, cm_at, info_read, stack_ref, q_ref)
 
     inv_w, sc_w, _ = _world_slab_pre(o_w, d_w)
     pending = _pending_instances(ai_ref, num_inst, inv_w, sc_w, tmax_all)
@@ -980,10 +1090,12 @@ def _scratch(leaf_hbm: bool = False):
 _HBM = pl.BlockSpec(memory_space=pl.ANY)
 
 
-@partial(jax.jit, static_argnames=("interpret", "with_stats", "leaf_hbm"))
+@partial(jax.jit, static_argnames=("interpret", "with_stats", "leaf_hbm",
+                                   "meta_vmem"))
 def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
                           active, interpret: bool = False,
-                          with_stats: bool = False, leaf_hbm: bool = False):
+                          with_stats: bool = False, leaf_hbm: bool = False,
+                          meta_vmem: bool = False):
     """Wide-BVH packet closest-hit traversal.
 
     Same contract as traversal.traverse_closest: returns
@@ -1005,10 +1117,17 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
     act = _scalar_tiles(_pad(active.astype(jnp.int32), n_pad, 0), n_tiles)
 
     shp = (n_tiles, SUBLANES, 128)
+    if meta_vmem:
+        in_specs = [_VMEM] * 5 + [_HBM if leaf_hbm else _VMEM]
+        ins = (o, d, tm, act, tables.node_bounds, tables.leaf_tris)
+    else:
+        in_specs = [_VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _VMEM,
+                    _HBM if leaf_hbm else _VMEM]
+        ins = (o, d, tm, act, tables.node_info, tables.child_meta,
+               tables.node_bounds, tables.leaf_tris)
     hit, t, u, v, prim, nx, ny, nz, st = pl.pallas_call(
-        _make_closest_kernel(leaf_hbm),
-        in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _VMEM,
-                  _HBM if leaf_hbm else _VMEM],
+        _make_closest_kernel(leaf_hbm, meta_vmem),
+        in_specs=in_specs,
         out_specs=[_VMEM] * 8 + [_SMEM],
         out_shape=[jax.ShapeDtypeStruct(shp, jnp.int32),
                    jax.ShapeDtypeStruct(shp, jnp.float32),
@@ -1023,8 +1142,7 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(tables, n_pad, leaf_hbm)),
         interpret=interpret,
-    )(o, d, tm, act, tables.node_info, tables.child_meta,
-      tables.node_bounds, tables.leaf_tris)
+    )(*ins)
 
     flat = lambda a: a.reshape(n_pad)[:n]
     normal = jnp.stack([flat(nx), flat(ny), flat(nz)], axis=-1)
@@ -1034,10 +1152,12 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
     return out
 
 
-@partial(jax.jit, static_argnames=("interpret", "with_stats", "leaf_hbm"))
+@partial(jax.jit, static_argnames=("interpret", "with_stats", "leaf_hbm",
+                                   "meta_vmem"))
 def wide_traverse_anyhit(tables: WideTables, origin, direction, tmax,
                          exclude, active, interpret: bool = False,
-                         with_stats: bool = False, leaf_hbm: bool = False):
+                         with_stats: bool = False, leaf_hbm: bool = False,
+                         meta_vmem: bool = False):
     """Wide-BVH packet any-hit traversal (occlusion with prim exclusion).
 
     With ``with_stats=True`` returns ``(occluded, (walk_rounds,
@@ -1052,10 +1172,17 @@ def wide_traverse_anyhit(tables: WideTables, origin, direction, tmax,
     act = _scalar_tiles(_pad(active.astype(jnp.int32), n_pad, 0), n_tiles)
     ex = _scalar_tiles(_pad(exclude, n_pad, -1), n_tiles)
 
+    if meta_vmem:
+        in_specs = [_VMEM] * 6 + [_HBM if leaf_hbm else _VMEM]
+        ins = (o, d, tm, act, ex, tables.node_bounds, tables.leaf_tris)
+    else:
+        in_specs = [_VMEM, _VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _VMEM,
+                    _HBM if leaf_hbm else _VMEM]
+        ins = (o, d, tm, act, ex, tables.node_info, tables.child_meta,
+               tables.node_bounds, tables.leaf_tris)
     occ, st = pl.pallas_call(
-        _make_anyhit_kernel(leaf_hbm),
-        in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _VMEM,
-                  _HBM if leaf_hbm else _VMEM],
+        _make_anyhit_kernel(leaf_hbm, meta_vmem),
+        in_specs=in_specs,
         out_specs=[_VMEM, _SMEM],
         out_shape=[jax.ShapeDtypeStruct((n_tiles, SUBLANES, 128), jnp.int32),
                    jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32)],
@@ -1063,8 +1190,7 @@ def wide_traverse_anyhit(tables: WideTables, origin, direction, tmax,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(tables, n_pad, leaf_hbm)),
         interpret=interpret,
-    )(o, d, tm, act, ex, tables.node_info, tables.child_meta,
-      tables.node_bounds, tables.leaf_tris)
+    )(*ins)
     occluded = occ.reshape(n_pad)[:n] != 0
     if with_stats:
         return occluded, (jnp.sum(st[:, 0]), jnp.sum(st[:, 1]))

@@ -34,14 +34,16 @@ def resolve_mode(scene, cfg):
 
 
 def _backend(mode, interp, tables, bvh, tris, stack_size, with_stats=False,
-             leaf_hbm=False):
+             leaf_hbm=False, meta_vmem=False):
     if mode == "pallas":
         assert tables is not None, (
             "traversal='pallas' needs scenes built with max_leaf_size <= 8")
         return (partial(wide_traverse_closest, tables, interpret=interp,
-                        with_stats=with_stats, leaf_hbm=leaf_hbm),
+                        with_stats=with_stats, leaf_hbm=leaf_hbm,
+                        meta_vmem=meta_vmem),
                 partial(wide_traverse_anyhit, tables, interpret=interp,
-                        with_stats=with_stats, leaf_hbm=leaf_hbm))
+                        with_stats=with_stats, leaf_hbm=leaf_hbm,
+                        meta_vmem=meta_vmem))
     return (partial(traverse_closest, bvh, tris, stack_size=stack_size,
                     with_stats=with_stats),
             partial(traverse_anyhit, bvh, tris, stack_size=stack_size,
@@ -91,7 +93,8 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
 
     closest, _ = _backend(mode, interp, scene.tables, scene.bvh, scene.tris,
                           cfg.stack_size, with_stats,
-                          getattr(scene, "leaf_hbm", False))
+                          getattr(scene, "leaf_hbm", False),
+                          getattr(scene, "meta_vmem", False))
     hit, t, u, v, prim, n_w, *st = closest(o, d, tmax, active)
     t = jnp.where(hit, t, tmax)
     src = jnp.zeros_like(prim)
@@ -142,7 +145,8 @@ def trace_anyhit(scene, cfg, mode, interp, o, d, tmax, exclude, active,
 
     _, anyhit = _backend(mode, interp, scene.tables, scene.bvh, scene.tris,
                          cfg.stack_size, with_stats,
-                         getattr(scene, "leaf_hbm", False))
+                         getattr(scene, "leaf_hbm", False),
+                         getattr(scene, "meta_vmem", False))
     occ = anyhit(o, d, tmax, exclude, active)
     if with_stats:
         occ, (steps, leafs) = occ

@@ -29,7 +29,7 @@ from .transform import Transform
          data_fields=["tris", "bvh", "materials", "lights",
                       "prim_material", "prim_light", "tables",
                       "env_radiance", "instances", "blas", "inst_tables"],
-         meta_fields=["num_lights", "leaf_hbm"])
+         meta_fields=["num_lights", "leaf_hbm", "meta_vmem"])
 @dataclasses.dataclass(frozen=True)
 class Scene:
     """Device-resident scene: a pytree of dense arrays (scene.cuh:4-8).
@@ -63,6 +63,9 @@ class Scene:
                               # and the packet kernel streams rows by DMA —
                               # scenes whose tables exceed VMEM keep the
                               # Pallas path instead of the XLA fallback
+    meta_vmem: bool = False   # static: node meta too big for SMEM — the
+                              # kernel reads it from the bounds-row mirror
+                              # lanes instead (pallas_wide._vmem_meta)
 
 
 class SceneBuilder:
@@ -221,36 +224,56 @@ class SceneBuilder:
                 ltri[li] = int(inv_perm[ti])  # light -> permuted triangle idx
 
         tris = Triangles.from_vertices(p0[perm], p1[perm], p2[perm])
+        # host-side twin for build-time consumers (make_light_table): keeps
+        # scene build free of device->host fetches, which cost minutes per
+        # array through a remote-TPU tunnel
+        import types
+        _hp0 = p0[perm].astype(np.float32)
+        _he1 = (_hp0 - p1[perm]).astype(np.float32)
+        _he2 = (p2[perm] - _hp0).astype(np.float32)
+        tris_host = types.SimpleNamespace(p0=_hp0, e1=_he1, e2=_he2,
+                                          n=np.cross(_he1, _he2))
 
         tables = None
         leaf_hbm = False
-        # packet-kernel residency: each wide node and each leaf costs one
-        # 512-byte row (leaves ~= nodes/2, wide nodes ~= leaves/7).  When
-        # everything fits VMEM (~128 MB on v5e) the kernel keeps both
-        # tables resident; when only the nodes fit, the leaf table stays in
-        # HBM and leaf rows stream by DMA (leaf_hbm); beyond that the XLA
-        # traversal takes over.
-        est_leaf_rows = res.num_nodes // 2 + 16
+        meta_vmem = False
+        # packet-kernel residency tiers, decided from the ACTUAL table
+        # shapes after the wide collapse:
+        #   1. everything VMEM/SMEM-resident (fast path)
+        #   2. leaf table > VMEM budget -> leaf rows stream from HBM
+        #      (leaf_hbm); node meta > SMEM budget -> meta moves to mirror
+        #      lanes of the VMEM bounds rows (meta_vmem)
+        #   3. node rows alone > VMEM budget -> XLA traversal fallback
         est_node_rows = res.num_nodes // 8 + 16
-        fits_vmem = (est_leaf_rows + est_node_rows) * 512 < (100 << 20)
         nodes_fit = est_node_rows * 512 < (60 << 20)
         if max_leaf_size is not None and max_leaf_size <= 8 and nodes_fit:
-            from ..kernels.pallas_wide import build_wide_tables
+            from ..kernels.pallas_wide import (SMEM_META_CAP,
+                                               build_wide_tables)
             pp0, pp1, pp2 = p0[perm], p1[perm], p2[perm]
             te1 = pp0 - pp1
             te2 = pp2 - pp0
             tables = build_wide_tables(res, pp0, te1, te2,
-                                       np.cross(te1, te2))
-            leaf_hbm = not fits_vmem
+                                       np.cross(te1, te2), as_numpy=True)
+            node_bytes = tables.num_wide_nodes * 512
+            leaf_bytes = tables.num_leaf_rows * 512
+            smem_bytes = (tables.child_meta.size
+                          + tables.node_info.size) * 4
+            if node_bytes >= (60 << 20):
+                tables = None
+            else:
+                leaf_hbm = node_bytes + leaf_bytes >= (100 << 20)
+                meta_vmem = smem_bytes >= SMEM_META_CAP
 
-        instances, blas = self._build_instances(max_depth, max_leaf_size,
-                                                min_leaf_size, builder)
+        instances, blas, blas_np = self._build_instances(
+            max_depth, max_leaf_size, min_leaf_size, builder)
         inst_tables = None
         if instances is not None and tables is not None and not leaf_hbm:
             from ..kernels.pallas_wide import build_instanced_tables
             inst_tables = build_instanced_tables(
-                tables, bmin.min(0), bmax.max(0),
-                [b.tables for b in blas], instances)
+                tables, bmin.min(0), bmax.max(0), blas_np, instances)
+        if tables is not None:
+            tables = tables.device()
+
         return Scene(
             tris=tris,
             bvh=res.to_device(),
@@ -258,7 +281,7 @@ class SceneBuilder:
             inst_tables=inst_tables,
             materials=self.materials.build(),
             lights=make_light_table(self._ltype, self._lpos, self._lemit,
-                                    ltri, tris),
+                                    ltri, tris_host),
             prim_material=jnp.asarray(mat_idx[perm]),
             prim_light=jnp.asarray(prim_light[perm]),
             env_radiance=jnp.asarray(self._env, jnp.float32),
@@ -266,13 +289,14 @@ class SceneBuilder:
             blas=blas,
             num_lights=len(self._ltype),
             leaf_hbm=leaf_hbm,
+            meta_vmem=meta_vmem,
         )
 
     def _build_instances(self, max_depth, max_leaf_size, min_leaf_size,
                          builder):
         """Build shared BLAS + instance table (memoized per build params)."""
         if not self._instances:
-            return None, ()
+            return None, (), ()
         cache_key = (max_depth, max_leaf_size, min_leaf_size, builder,
                      len(self._instances), len(self._blas_meshes))
         cached = getattr(self, "_inst_cache", None)
@@ -284,6 +308,7 @@ class SceneBuilder:
         from ..kernels.pallas_wide import build_wide_tables
 
         blas = []
+        blas_np = []
         local_bounds = []
         for verts, faces in self._blas_meshes:
             p0 = verts[faces[:, 0]].astype(np.float32)
@@ -309,9 +334,11 @@ class SceneBuilder:
                 pp0, pp1, pp2 = p0[perm], p1[perm], p2[perm]
                 te1, te2 = pp0 - pp1, pp2 - pp0
                 tables = build_wide_tables(res, pp0, te1, te2,
-                                           np.cross(te1, te2))
+                                           np.cross(te1, te2), as_numpy=True)
+            blas_np.append(tables)
             blas.append(MeshBlas(tris=tris, bvh=res.to_device(),
-                                 tables=tables))
+                                 tables=None if tables is None
+                                 else tables.device()))
             local_bounds.append((bmin.min(0), bmax.max(0)))
 
         n_inst = len(self._instances)
@@ -337,5 +364,6 @@ class SceneBuilder:
                               aabb_lo=jnp.asarray(lo), aabb_hi=jnp.asarray(hi),
                               material=jnp.asarray(mats),
                               mesh_id=tuple(mesh_ids))
-        self._inst_cache = (cache_key, (table, tuple(blas)))
+        self._inst_cache = (cache_key, (table, tuple(blas),
+                                        tuple(blas_np)))
         return self._inst_cache[1]

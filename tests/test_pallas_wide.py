@@ -183,3 +183,44 @@ def test_leaf_hbm_streaming_matches_vmem():
     ob = wide_traverse_anyhit(tables, o, d, jnp.full(n, 1.0), ex, active,
                               interpret=interp, leaf_hbm=True)
     np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+
+
+def test_meta_vmem_matches_smem():
+    """meta_vmem mode (node meta read from bounds-row mirror lanes instead
+    of SMEM — the big-scene path that lifts the ~1 MB SMEM ceiling) must be
+    bitwise identical, alone and combined with leaf_hbm."""
+    from rtjax import SceneBuilder
+
+    rng = np.random.default_rng(2)
+    b = SceneBuilder()
+    m = b.make_matte((0.5, 0.5, 0.5))
+    c = rng.uniform(-1, 1, (400, 3)).astype(np.float32)
+    e = rng.normal(scale=0.15, size=(400, 2, 3)).astype(np.float32)
+    b.add_triangles(c, c + e[:, 0], c + e[:, 1], m)
+    tables = b.build().tables
+
+    n = 2048
+    o = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmax = jnp.full(n, jnp.inf)
+    active = jnp.ones(n, bool)
+    interp = jax.default_backend() != "tpu"
+
+    a = wide_traverse_closest(tables, o, d, tmax, active, interpret=interp)
+    assert int(np.asarray(a[0]).sum()) > 50
+    for leaf_hbm in (False, True):
+        h = wide_traverse_closest(tables, o, d, tmax, active,
+                                  interpret=interp, meta_vmem=True,
+                                  leaf_hbm=leaf_hbm)
+        for x, y in zip(a, h):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    ex = jnp.full(n, -1, jnp.int32)
+    oa = wide_traverse_anyhit(tables, o, d, jnp.full(n, 1.0), ex, active,
+                              interpret=interp)
+    ob = wide_traverse_anyhit(tables, o, d, jnp.full(n, 1.0), ex, active,
+                              interpret=interp, meta_vmem=True,
+                              leaf_hbm=True)
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
