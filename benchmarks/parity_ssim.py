@@ -42,7 +42,8 @@ def main():
                            max_bounces=10, reference_parity=parity)
         ck = f"artifacts/parity_{name}_{size}_{spp}spp.npz"
         t0 = time.time()
-        fb = render_checkpointed(scene, cam, cfg, ck, batch_spp=min(spp, 128))
+        fb = render_checkpointed(scene, cam, cfg, ck,
+                                 batch_spp=min(spp, 32))
         print(f"{name}: {time.time()-t0:.0f}s")
         img = np.asarray(fb).reshape(size, size, 3)
         imgs[name] = img
