@@ -114,3 +114,17 @@ def test_windowed_flush_loses_no_radiance():
     fb, _ = render_frame(scene, cam, cfg, jax.random.key(2))
     img = np.asarray(fb)
     np.testing.assert_allclose(img, 0.7, atol=1e-5)  # sqrt(0.49)
+
+
+def test_adaptive_pool_size():
+    """num_working_paths=None derives the pool from the workload, clamped
+    to [2^17, 2^19]; explicit values always win."""
+    from rtjax import RenderConfig
+
+    assert RenderConfig(width=256, height=256,
+                        num_samples=16).pool_size == 1 << 17
+    assert RenderConfig(width=512, height=512,
+                        num_samples=64).pool_size == 1 << 19
+    assert RenderConfig(width=1920, height=1080,
+                        num_samples=4).pool_size == 1 << 18
+    assert RenderConfig(num_working_paths=512).pool_size == 512
