@@ -846,8 +846,15 @@ def concat_wide_tables(parts):
         value = cmk >> 4
         value = np.where(count > 0, value + n_leaves,
                          np.where(value > 0, value + n_nodes, 0))
-        cm.append(((value << 4) | count).astype(np.int32))
-        nb.append(np.asarray(t.node_bounds))
+        cmk2 = ((value << 4) | count).astype(np.int32)
+        cm.append(cmk2)
+        # keep the bounds-row meta mirror lanes consistent with the
+        # re-offset SMEM meta (the instanced kernel reads SMEM, but the
+        # mirrors must never go stale)
+        nbk = np.array(np.asarray(t.node_bounds))
+        nbk[:, META_BASE:META_BASE + WIDTH] = \
+            cmk2.reshape(-1, WIDTH).astype(np.float32)
+        nb.append(nbk)
         ni.append(np.asarray(t.node_info))
         lt.append(np.asarray(t.leaf_tris))
         n_nodes += t.num_wide_nodes
@@ -877,6 +884,10 @@ def build_instanced_tables(base: WideTables, base_lo, base_hi,
                for t in [base] + list(blas_tables))
     if rows * 512 >= (100 << 20):  # combined tables must fit VMEM
         return None
+    meta_bytes = sum((t.child_meta.size + t.node_info.size) * 4
+                     for t in [base] + list(blas_tables))
+    if meta_bytes >= SMEM_META_CAP:  # combined meta must fit SMEM (the
+        return None                  # instanced kernel has no meta_vmem)
     wide, node_off, _ = concat_wide_tables([base] + list(blas_tables))
 
     inv = np.asarray(instances.inv, np.float32).reshape(instances.num, 12)
