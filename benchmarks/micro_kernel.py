@@ -287,7 +287,7 @@ def make_clz(n_iters):
 # -------------------------------------------------- standalone traversal
 def traversal_baseline(coherent=True, n=1 << 20):
     from rtjax.scenes import cornell_bunny
-    from rtjax.kernels.pallas_traversal import pallas_traverse_closest
+    from rtjax.kernels.pallas_wide import wide_traverse_closest as pallas_traverse_closest
     scene, camera = cornell_bunny()
     rng = np.random.default_rng(0)
     if coherent:

@@ -20,19 +20,27 @@ leaf's primitives are the contiguous triangle indices
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-@jax.tree_util.register_dataclass
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["bmin", "bmax", "left_first", "num_prims"],
+         meta_fields=["max_depth"])
 @dataclasses.dataclass(frozen=True)
 class BvhArrays:
     bmin: jax.Array        # [M, 3] float32
     bmax: jax.Array        # [M, 3] float32
     left_first: jax.Array  # [M] int32
     num_prims: jax.Array   # [M] int32
+    # static: actual tree depth from the build.  The at-cap median split
+    # (builder_np.py) can legally exceed BVH_MAX_DEPTH on degenerate scenes;
+    # the XLA traversal sizes its stack from this so pushes are never
+    # silently dropped (ADVICE r2 #1).
+    max_depth: int = 0
 
     @property
     def num_nodes(self) -> int:
@@ -66,6 +74,7 @@ class BuildResult:
         bmax = self.bmax[:m]
         left_first = self.left_first[:m]
         num_prims = self.num_prims[:m]
+        depth = int(self.max_depth)
         if num_prims[0] > 0:
             inf = np.float32(np.inf)
             bmin = np.concatenate([bmin[:1], bmin[:1], [[inf, inf, inf]]])
@@ -73,11 +82,13 @@ class BuildResult:
             # node1 = the original leaf; node2 = never-hit dummy leaf
             left_first = np.array([1, left_first[0], 0], np.int32)
             num_prims = np.array([0, num_prims[0], 1], np.int32)
+            depth += 1
         return BvhArrays(
             bmin=jnp.asarray(bmin),
             bmax=jnp.asarray(bmax),
             left_first=jnp.asarray(left_first),
             num_prims=jnp.asarray(num_prims),
+            max_depth=depth,
         )
 
 

@@ -105,14 +105,50 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_bench(args) -> int:
+    """Benchmark a built-in scene: report wall time and Mrays/s."""
+    import jax
+    import numpy as np
+    from .config import RenderConfig
+    from .render import render_frame
+
+    scene, camera = _build_scene(args.scene)
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       num_samples=args.spp, max_bounces=args.bounces,
+                       num_working_paths=args.pool, traversal=args.traversal,
+                       sort_rays=not args.no_sort, seed=args.seed)
+    key = jax.random.key(args.seed)
+    t0 = time.time()
+    fb, stats = render_frame(scene, camera, cfg, key)
+    _ = float(np.asarray(fb).mean())  # host fetch = reliable device sync
+    print(f"compile+first run: {time.time() - t0:.1f}s")
+    dt = float("inf")
+    for rep in range(args.reps):
+        t0 = time.time()
+        fb, stats = render_frame(scene, camera, cfg, jax.random.key(2 + rep))
+        _ = float(np.asarray(fb).mean())
+        dt = min(dt, time.time() - t0)
+    rays = float(np.asarray(stats["rays_traced"]))
+    print(f"{args.scene} {cfg.width}x{cfg.height}@{cfg.num_samples}spp: "
+          f"{dt:.3f}s, {rays:.4g} rays, {rays / dt / 1e6:.2f} Mrays/s")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="rtjax")
     sub = parser.add_subparsers(dest="cmd", required=True)
     pr = sub.add_parser("render", help="render a built-in scene")
     _add_render_args(pr)
+    pb = sub.add_parser("bench", help="benchmark a built-in scene "
+                        "(see also benchmarks/run_configs.py)")
+    _add_render_args(pb)
+    pb.add_argument("--reps", type=int, default=2,
+                    help="timed repetitions (min is reported)")
     args = parser.parse_args(argv)
     if args.cmd == "render":
         return cmd_render(args)
+    if args.cmd == "bench":
+        return cmd_bench(args)
     return 1
 
 

@@ -73,4 +73,12 @@ class RenderConfig:
 
     @property
     def total_camera_rays(self) -> int:
-        return self.num_pixels * self.num_samples
+        n = self.num_pixels * self.num_samples
+        # camera-ray ids are int32 on device (wavefront.py cam_id); bigger
+        # renders must batch spp via render.checkpoint.render_checkpointed
+        # (which also keeps single while_loop programs short enough for the
+        # remote-TPU watchdog — docs/DEV_NOTES.md)
+        assert n < 2**31, (
+            f"{n} camera rays overflow int32 ray ids; render in spp batches "
+            "with rtjax.render.checkpoint.render_checkpointed")
+        return n

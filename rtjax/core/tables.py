@@ -26,6 +26,9 @@ def take_rows(table, idx, limit: int = SELECT_LIMIT):
     L = table.shape[0]
     if L > limit:
         return table[jnp.clip(idx, 0, L - 1)]
+    # clamp so the select chain agrees with the gather path above: without
+    # it any out-of-range index silently mapped to row 0 (ADVICE r2 #5)
+    idx = jnp.clip(idx, 0, L - 1)
     expand = (Ellipsis,) + (None,) * (table.ndim - 1)
     out = jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
     for l in range(1, L):

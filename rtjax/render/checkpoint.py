@@ -26,6 +26,7 @@ import jax
 import numpy as np
 
 from ..config import RenderConfig
+from ..utils.log import logger
 
 
 def render_fingerprint(scene, camera, cfg: RenderConfig) -> str:
@@ -43,9 +44,21 @@ def render_fingerprint(scene, camera, cfg: RenderConfig) -> str:
     arrays = [x for x in leaves if hasattr(x, "dtype")]
     for x in arrays:
         h.update(repr((str(x.dtype), tuple(x.shape))).encode())
+
+    def _checksum(x):
+        # position-weighted sum: a plain sum is permutation- and
+        # cancellation-insensitive (moving one vertex +d and another -d
+        # preserves it — ADVICE r2 #4); a per-element pseudo-random weight
+        # derived from the flat index makes any single-element edit,
+        # permutation, or paired cancellation perturb the checksum
+        v = x.astype(jnp.float32).ravel()
+        idx = jnp.arange(v.shape[0], dtype=jnp.uint32)
+        w = ((idx * jnp.uint32(2654435761)) >> 8).astype(jnp.float32)
+        return jnp.stack([jnp.sum(v), jnp.sum(v * w)])
+
     if arrays:
-        sums = jax.jit(lambda xs: jnp.stack(
-            [jnp.sum(x.astype(jnp.float32)) for x in xs]))(arrays)
+        sums = jax.jit(lambda xs: jnp.stack([_checksum(x) for x in xs]))(
+            arrays)
         h.update(np.asarray(sums).tobytes())
     return h.hexdigest()
 
@@ -80,10 +93,11 @@ def render_checkpointed(scene, camera, cfg: RenderConfig, path: str,
             fb = ck["fb"]
             start = int(ck["batches_done"])
             if verbose:
-                print(f"resuming from {path}: {start}/{n_batches} batches")
+                logger.info(f"resuming from {path}: {start}/{n_batches} "
+                            "batches")
         elif verbose:
-            print(f"checkpoint {path} does not match this render "
-                  "(different scene/camera/config); starting fresh")
+            logger.warning(f"checkpoint {path} does not match this render "
+                           "(different scene/camera/config); starting fresh")
 
     base_key = jax.random.key(cfg.seed)
     if mesh is not None:
@@ -104,7 +118,8 @@ def render_checkpointed(scene, camera, cfg: RenderConfig, path: str,
                          batch_spp=batch_spp, fingerprint=fp)
             os.replace(tmp, path)
         if verbose:
-            print(f"batch {b + 1}/{n_batches} done "
-                  f"({float(np.asarray(stats['rays_traced'])):.3g} rays)")
+            logger.info(f"batch {b + 1}/{n_batches} done "
+                        f"({float(np.asarray(stats['rays_traced'])):.3g} "
+                        "rays)")
 
     return np.sqrt(fb / cfg.num_samples)

@@ -92,6 +92,7 @@ class SceneBuilder:
         # instancing: unique meshes + placements
         self._blas_meshes: list[tuple] = []       # (vertices, faces)
         self._instances: list[tuple] = []         # (mesh_idx, matrix, material)
+        self._inst_cache = None                   # BLAS build memo
 
     # -- materials (delegate to MaterialBuilder, material.cuh:25-44) --------
     def make_matte(self, albedo) -> int:
@@ -143,6 +144,7 @@ class SceneBuilder:
         """Register a unique mesh for instancing; returns its mesh id."""
         self._blas_meshes.append((np.asarray(vertices, np.float64),
                                   np.asarray(faces, np.int64)))
+        self._inst_cache = None  # content changed: invalidate the BLAS memo
         return len(self._blas_meshes) - 1
 
     def add_instance(self, mesh_id: int, material: int,
@@ -157,7 +159,10 @@ class SceneBuilder:
         if transform is not None:
             m = transform.matrix if isinstance(transform, Transform) \
                 else np.asarray(transform, np.float64)
-        self._instances.append((mesh_id, m, material))
+        # copy: a caller mutating its Transform after add_instance must not
+        # retroactively move the placed instance (ADVICE r2 #3)
+        self._instances.append((mesh_id, np.array(m, np.float64), material))
+        self._inst_cache = None  # content changed: invalidate the BLAS memo
         return len(self._instances) - 1
 
     def set_environment(self, radiance) -> None:
@@ -206,11 +211,14 @@ class SceneBuilder:
                              min_leaf_size=min_leaf_size, which=builder)
         if verbose:
             # same stats the reference prints (bvh.cuh:63-69,203-204)
+            from ..utils.log import logger
             lo, hi = bmin.min(0), bmax.max(0)
-            print(f"Global bounding box: ({lo[0]:.6g}, {lo[1]:.6g}, "
-                  f"{lo[2]:.6g}) ({hi[0]:.6g}, {hi[1]:.6g}, {hi[2]:.6g})")
-            print(f"BVH has {res.num_nodes} nodes and {self._num_tris} "
-                  f"primitives, with max_depth = {res.max_depth}")
+            logger.info(f"Global bounding box: ({lo[0]:.6g}, {lo[1]:.6g}, "
+                        f"{lo[2]:.6g}) ({hi[0]:.6g}, {hi[1]:.6g}, "
+                        f"{hi[2]:.6g})")
+            logger.info(f"BVH has {res.num_nodes} nodes and "
+                        f"{self._num_tris} primitives, with max_depth = "
+                        f"{res.max_depth}")
 
         perm = res.perm
         inv_perm = np.empty_like(perm)
@@ -297,8 +305,14 @@ class SceneBuilder:
         """Build shared BLAS + instance table (memoized per build params)."""
         if not self._instances:
             return None, (), ()
+        # memoized per build params; any add_instance/register_mesh call
+        # invalidates (_inst_cache = None), and per-instance content rides
+        # in the key so content edits with unchanged counts cannot return
+        # stale tables (ADVICE r2 #3)
+        content = tuple((mid, m.tobytes(), mat)
+                        for mid, m, mat in self._instances)
         cache_key = (max_depth, max_leaf_size, min_leaf_size, builder,
-                     len(self._instances), len(self._blas_meshes))
+                     len(self._blas_meshes), content)
         cached = getattr(self, "_inst_cache", None)
         if cached is not None and cached[0] == cache_key:
             return cached[1]

@@ -12,6 +12,8 @@ from __future__ import annotations
 import contextlib
 import time
 
+from .log import logger
+
 
 class Profiler:
     def __init__(self, verbose: bool = True):
@@ -23,8 +25,7 @@ class Profiler:
     def start(self, name: str) -> None:
         assert self._name is None, "profiler phases cannot nest"
         self._name = name
-        if self.verbose:
-            print(f"{name}...", end=" ", flush=True)
+        logger.debug("%s...", name)
         self._start = time.perf_counter()
 
     def stop(self) -> float:
@@ -32,7 +33,9 @@ class Profiler:
         ms = (time.perf_counter() - self._start) * 1e3
         self.records[self._name] = self.records.get(self._name, 0.0) + ms
         if self.verbose:
-            print(f"done. ({ms:.0f} ms)")
+            # one record per phase, same text as the reference's two-part
+            # print (profiler.hpp:18,27)
+            logger.info("%s... done. (%.0f ms)", self._name, ms)
         self._name = None
         return ms
 
