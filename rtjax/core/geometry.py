@@ -14,8 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import vec
-from .sampling import offset_ray_origin
+from . import v3, vec
+from .sampling import offset_ray_origin, offset_ray_origin_v3
 
 _FLT_EPSILON = float(np.finfo(np.float32).eps)
 
@@ -76,6 +76,21 @@ class Triangles:
                          e2=self.e2[idx], n=self.n[idx])
 
 
+def intersect_triangle_v3(origin, direction, tmax, p0, e1, e2, n):
+    """Component-triple form of :func:`intersect_triangle` (engine hot path).
+
+    All vector args are (x, y, z) triples of ``[N]`` arrays (core.v3).
+    """
+    c = v3.sub(p0, origin)
+    r = v3.cross(direction, c)
+    inv_det = 1.0 / v3.dot(direction, n)
+    u = inv_det * v3.dot(e2, r)
+    v = inv_det * v3.dot(e1, r)
+    t = inv_det * v3.dot(c, n)
+    hit = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0) & (t <= tmax)
+    return hit, t, u, v
+
+
 def intersect_triangle(origin, direction, tmax, p0, e1, e2, n):
     """Batched Moeller-Trumbore variant (triangle.cuh:39-58).
 
@@ -84,14 +99,16 @@ def intersect_triangle(origin, direction, tmax, p0, e1, e2, n):
     Division by a zero determinant yields inf/nan which the comparisons
     reject, matching the CUDA behavior of ``1.f / dot(d, n)``.
     """
-    c = p0 - origin
-    r = vec.cross(direction, c)
-    inv_det = 1.0 / vec.dot(direction, n)
-    u = inv_det * vec.dot(e2, r)
-    v = inv_det * vec.dot(e1, r)
-    t = inv_det * vec.dot(c, n)
-    hit = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0) & (t <= tmax)
-    return hit, t, u, v
+    return intersect_triangle_v3(
+        v3.from_array(origin), v3.from_array(direction), tmax,
+        v3.from_array(p0), v3.from_array(e1), v3.from_array(e2),
+        v3.from_array(n))
+
+
+def spawn_offset_ray_v3(p, unit_n, unit_d, tmax=jnp.inf):
+    """Component-triple form of :func:`spawn_offset_ray`."""
+    return (offset_ray_origin_v3(p, unit_n), unit_d,
+            jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), p[0].shape))
 
 
 def spawn_offset_ray(p, unit_n, unit_d, tmax=jnp.inf):

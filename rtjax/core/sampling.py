@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import TWO_PI
-from . import vec
+from . import v3, vec
 
 # Wachter & Binder, "A Fast and Robust Method for Avoiding Self-Intersection"
 # (utility.cuh:31-47): nudge the spawn origin along the geometric normal by an
@@ -21,17 +21,26 @@ _FLOAT_SCALE = 1.0 / 65536.0
 _ORIGIN = 1.0 / 32.0
 
 
+def _offset_component(p, n):
+    of_i = jnp.trunc(_INT_SCALE * n).astype(jnp.int32)
+    p_bits = jax.lax.bitcast_convert_type(p, jnp.int32)
+    nudged_bits = p_bits + jnp.where(p < 0.0, -of_i, of_i)
+    p_i = jax.lax.bitcast_convert_type(nudged_bits, jnp.float32)
+    return jnp.where(jnp.abs(p) < _ORIGIN, p + _FLOAT_SCALE * n, p_i)
+
+
+def offset_ray_origin_v3(p, unit_n):
+    """Component-triple form of :func:`offset_ray_origin` (engine hot path)."""
+    return tuple(_offset_component(pk, nk) for pk, nk in zip(p, unit_n))
+
+
 def offset_ray_origin(p, unit_n):
     """Robust self-intersection offset (utility.cuh:31-47).
 
     ``__int_as_float/__float_as_int`` become ``lax.bitcast_convert_type``;
     the component-wise branches become ``jnp.where`` selects.
     """
-    of_i = jnp.trunc(_INT_SCALE * unit_n).astype(jnp.int32)
-    p_bits = jax.lax.bitcast_convert_type(p, jnp.int32)
-    nudged_bits = p_bits + jnp.where(p < 0.0, -of_i, of_i)
-    p_i = jax.lax.bitcast_convert_type(nudged_bits, jnp.float32)
-    return jnp.where(jnp.abs(p) < _ORIGIN, p + _FLOAT_SCALE * unit_n, p_i)
+    return _offset_component(p, unit_n)
 
 
 def power_heuristic(f_pdf, g_pdf):
@@ -49,12 +58,22 @@ def same_hemisphere(wo, wi, n):
     return vec.dot(wo, n) * vec.dot(wi, n) < 0.0
 
 
-def uniform_sample_sphere(u1, u2):
-    """Uniform direction on the unit sphere from two uniforms (utility.cuh:70-77)."""
+def same_hemisphere_v3(wo, wi, n):
+    """Component-triple form of :func:`same_hemisphere`."""
+    return v3.dot(wo, n) * v3.dot(wi, n) < 0.0
+
+
+def uniform_sample_sphere_v3(u1, u2):
+    """Component-triple form of :func:`uniform_sample_sphere`."""
     z = 1.0 - 2.0 * u1
     r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
     phi = TWO_PI * u2
-    return vec.vec3(r * jnp.cos(phi), r * jnp.sin(phi), z)
+    return (r * jnp.cos(phi), r * jnp.sin(phi), z)
+
+
+def uniform_sample_sphere(u1, u2):
+    """Uniform direction on the unit sphere from two uniforms (utility.cuh:70-77)."""
+    return vec.vec3(*uniform_sample_sphere_v3(u1, u2))
 
 
 def random_in_unit_sphere(key, shape):

@@ -1,8 +1,8 @@
 """Ray-BVH traversal — wide (BVH8) Pallas TPU packet kernel.
 
-Second-generation traversal engine replacing the binary packet kernel
-(pallas_traversal.py) on the hot path.  Same packet model — a tile of
-SUBLANES x 128 rays shares one traversal — but redesigned around the measured
+Second-generation traversal engine (it replaced the round-1 binary packet
+kernel, deleted in round 3).  Keeps the packet model — a tile of
+SUBLANES x 128 rays shares one traversal — but is designed around the measured
 bottleneck (benchmarks/micro_kernel.py): a traversal step is bound by the
 ~250 ns latency chain *slab -> vector->scalar reduction -> scalar descent ->
 dynamic row load*, not by vector work (an 8-child step costs barely more than
@@ -794,8 +794,6 @@ def _make_anyhit_kernel(leaf_hbm: bool, meta_vmem: bool = False):
 
 # ================================================= two-level (instanced) path
 
-MAX_INSTANCES = 31  # instance-pending bitmask lives in one int32
-
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -838,6 +836,10 @@ def concat_wide_tables(parts):
     node_off, leaf_off = [], []
     nb, cm, ni, lt = [], [], [], []
     n_nodes = n_leaves = 0
+    total_nodes = sum(t.num_wide_nodes for t in parts)
+    total_leaves = sum(t.num_leaf_rows for t in parts)
+    assert total_nodes < (1 << 20) and total_leaves < (1 << 20), \
+        "concatenated meta refs must stay exact as f32 (< 2^24 after << 4)"
     for t in parts:
         node_off.append(n_nodes)
         leaf_off.append(n_leaves)
@@ -874,20 +876,16 @@ def build_instanced_tables(base: WideTables, base_lo, base_hi,
 
     ``blas_tables``: WideTables per unique mesh; ``instances``: an
     accel.instancing.InstanceTable.  Returns None when any table is missing
-    or there are too many instances for the pending bitmask.
+    or the combined tables exceed VMEM.  (Round 3 lifted the old
+    31-instance pending-bitmask cap — the kernel loops instances with an
+    IDLE-root cull — and oversized meta now rides the VMEM mirror lanes.)
     """
     if base is None or any(t is None for t in blas_tables):
-        return None
-    if 1 + instances.num > MAX_INSTANCES:
         return None
     rows = sum(t.num_wide_nodes + t.num_leaf_rows
                for t in [base] + list(blas_tables))
     if rows * 512 >= (100 << 20):  # combined tables must fit VMEM
         return None
-    meta_bytes = sum((t.child_meta.size + t.node_info.size) * 4
-                     for t in [base] + list(blas_tables))
-    if meta_bytes >= SMEM_META_CAP:  # combined meta must fit SMEM (the
-        return None                  # instanced kernel has no meta_vmem)
     wide, node_off, _ = concat_wide_tables([base] + list(blas_tables))
 
     inv = np.asarray(instances.inv, np.float32).reshape(instances.num, 12)
@@ -923,18 +921,6 @@ def _world_slab_pre(o, d):
     return inv, sc, octant
 
 
-def _pending_instances(ai_ref, num_inst, inv_w, sc_w, tmax):
-    """Bitmask of instances whose world AABB is hit by any lane."""
-
-    def body(k, pm):
-        # AABB stored (lo3, hi3) — exactly _slab's bound order
-        b = tuple(ai_ref[18 * k + 12 + j] for j in range(6))
-        hk = _slab(b, inv_w, sc_w, tmax)
-        return pm | (jnp.any(hk).astype(jnp.int32) << k)
-
-    return jax.lax.fori_loop(0, num_inst, body, jnp.int32(0))
-
-
 def _inst_local_rays(ai_ref, k, o_w, d_w):
     """Transform the packet into instance k's local frame (12 scalar affine
     rows broadcast against the ray vectors).  The local direction is NOT
@@ -951,116 +937,162 @@ def _inst_local_rays(ai_ref, k, o_w, d_w):
     return o_l, d_l, inv, sc, octant
 
 
-def _closest_inst_kernel(o_ref, d_ref, t_ref, act_ref, root_ref, ai_ref,
-                         ni_ref, cm_ref, nb_ref, lt_ref,
-                         hit_ref, tout_ref, u_ref, v_ref, prim_ref, inst_ref,
-                         nx_ref, ny_ref, nz_ref, st_ref, stack_ref, q_ref):
+def _inst_cull(ai_ref, k, inv_w, sc_w, tmax):
+    """Does any lane hit instance k's world AABB?  (One slab + one packed
+    reduction — the per-instance cull of the in-kernel loop.)"""
+    b = tuple(ai_ref[18 * k + 12 + j] for j in range(6))
+    return jnp.any(_slab(b, inv_w, sc_w, tmax))
+
+
+def _make_closest_inst_kernel(meta_vmem: bool = False):
   """Two-level wide closest-hit (see InstancedTables).  Outputs add
   ``inst_ref``: the winning instance per lane (0 = base scene); normals are
-  LOCAL-frame (the caller applies the instance's cofactor transform)."""
-  n_tiles = hit_ref.shape[0]
-  num_inst = root_ref.shape[0]
+  LOCAL-frame (the caller applies the instance's cofactor transform).
 
-  def tile_body(ti, _):
-    o_w = (o_ref[ti, 0], o_ref[ti, 1], o_ref[ti, 2])
-    d_w = (d_ref[ti, 0], d_ref[ti, 1], d_ref[ti, 2])
-    valid = act_ref[ti] != 0
-    tmax = jnp.where(valid, t_ref[ti], -BIG)
-    stack_ref[0] = 0  # speculative pop reads slot 0 (see _make_closest_kernel)
-    cm_at, info_read = _smem_meta(cm_ref, ni_ref)
-    refs = (nb_ref, cm_at, info_read, stack_ref, q_ref)
+  Instances are visited with a ``fori_loop`` whose culled iterations start
+  the walk at an IDLE root: the walk's while_loop condition is then false
+  on entry, so a culled instance costs one slab test + one reduction.
+  This replaced the round-2 int32 pending bitmask (and its 31-instance
+  cap); ``lax.cond`` around the walk is not an option — Mosaic forbids
+  vector->scalar reductions inside cond regions."""
 
-    inv_w, sc_w, _ = _world_slab_pre(o_w, d_w)
-    pending = _pending_instances(ai_ref, num_inst, inv_w, sc_w, tmax)
+  def kernel(*args):
+    if meta_vmem:
+        (o_ref, d_ref, t_ref, act_ref, root_ref, ai_ref, nb_ref, lt_ref,
+         *rest) = args
+        cm_at, info_read = _vmem_meta(nb_ref)
+    else:
+        (o_ref, d_ref, t_ref, act_ref, root_ref, ai_ref, ni_ref, cm_ref,
+         nb_ref, lt_ref, *rest) = args
+        cm_at, info_read = _smem_meta(cm_ref, ni_ref)
+    (hit_ref, tout_ref, u_ref, v_ref, prim_ref, inst_ref,
+     nx_ref, ny_ref, nz_ref, st_ref, stack_ref, q_ref) = rest
+    n_tiles = hit_ref.shape[0]
+    num_inst = root_ref.shape[0]
 
-    shape = tmax.shape
-    ds0 = (jnp.full(shape, BIG, jnp.float32), jnp.zeros(shape, jnp.float32),
-           jnp.zeros(shape, jnp.float32), jnp.full(shape, -1, jnp.int32),
-           jnp.zeros(shape, jnp.int32), (jnp.zeros(shape, jnp.float32),) * 3)
+    def tile_body(ti, _):
+      o_w = (o_ref[ti, 0], o_ref[ti, 1], o_ref[ti, 2])
+      d_w = (d_ref[ti, 0], d_ref[ti, 1], d_ref[ti, 2])
+      valid = act_ref[ti] != 0
+      tmax = jnp.where(valid, t_ref[ti], -BIG)
+      stack_ref[0] = 0  # speculative pop reads slot 0 (_make_closest_kernel)
+      refs = (nb_ref, cm_at, info_read, stack_ref, q_ref)
 
-    def inst_body(c):
-        pending, rounds, leafs, tmax, ds = c
-        k = _ctz(pending)
-        o_l, d_l, inv, sc, octant = _inst_local_rays(ai_ref, k, o_w, d_w)
-        dloop = _simple_drain_loop(q_ref, lt_ref,
-                                   _closest_drain(o_l, d_l, inst_id=k))
-        rounds, leafs, tmax, ds = _run_walk(
-            refs, inv, sc, octant, root_ref[k], tmax, ds, dloop, _never,
-            rounds, leafs)
-        return pending & (pending - 1), rounds, leafs, tmax, ds
+      inv_w, sc_w, _ = _world_slab_pre(o_w, d_w)
 
-    out = jax.lax.while_loop(lambda c: c[0] != 0, inst_body,
-                             (pending, jnp.int32(0), jnp.int32(0), tmax, ds0))
-    _, rounds, leafs, _, ds = out
-    t, u, v, prim, inst, n3 = ds
-    hit = (prim >= 0) & valid
-    hit_ref[ti] = hit.astype(jnp.int32)
-    tout_ref[ti] = t
-    u_ref[ti] = u
-    v_ref[ti] = v
-    prim_ref[ti] = jnp.where(hit, prim, -1)
-    inst_ref[ti] = jnp.where(hit, inst, 0)
-    nx_ref[ti] = n3[0]
-    ny_ref[ti] = n3[1]
-    nz_ref[ti] = n3[2]
-    st_ref[ti, 0] = rounds
-    st_ref[ti, 1] = leafs
-    return 0
+      shape = tmax.shape
+      ds0 = (jnp.full(shape, BIG, jnp.float32), jnp.zeros(shape, jnp.float32),
+             jnp.zeros(shape, jnp.float32), jnp.full(shape, -1, jnp.int32),
+             jnp.zeros(shape, jnp.int32),
+             (jnp.zeros(shape, jnp.float32),) * 3)
 
-  jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+      def inst_body(k, c):
+          rounds, leafs, tmax, ds = c
+          pending = _inst_cull(ai_ref, k, inv_w, sc_w, tmax)
+          o_l, d_l, inv, sc, octant = _inst_local_rays(ai_ref, k, o_w, d_w)
+          root = jnp.where(pending, root_ref[k], IDLE)
+          dloop = _simple_drain_loop(q_ref, lt_ref,
+                                     _closest_drain(o_l, d_l, inst_id=k))
+          rounds, leafs, tmax, ds = _run_walk(
+              refs, inv, sc, octant, root, tmax, ds, dloop, _never,
+              rounds, leafs)
+          return rounds, leafs, tmax, ds
+
+      out = jax.lax.fori_loop(0, num_inst, inst_body,
+                              (jnp.int32(0), jnp.int32(0), tmax, ds0))
+      rounds, leafs, _, ds = out
+      t, u, v, prim, inst, n3 = ds
+      hit = (prim >= 0) & valid
+      hit_ref[ti] = hit.astype(jnp.int32)
+      tout_ref[ti] = t
+      u_ref[ti] = u
+      v_ref[ti] = v
+      prim_ref[ti] = jnp.where(hit, prim, -1)
+      inst_ref[ti] = jnp.where(hit, inst, 0)
+      nx_ref[ti] = n3[0]
+      ny_ref[ti] = n3[1]
+      nz_ref[ti] = n3[2]
+      st_ref[ti, 0] = rounds
+      st_ref[ti, 1] = leafs
+      return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+  return kernel
 
 
-def _anyhit_inst_kernel(o_ref, d_ref, t_ref, act_ref, ex_ref, root_ref,
-                        ai_ref, ni_ref, cm_ref, nb_ref, lt_ref, occ_ref,
-                        st_ref, stack_ref, q_ref):
+def _make_anyhit_inst_kernel(meta_vmem: bool = False):
   """Two-level wide any-hit.  The excluded prim id applies only within the
   base scene (instance 0) — shadow-ray light exclusion targets base-scene
-  triangles (lights cannot be instanced)."""
-  n_tiles = occ_ref.shape[0]
-  num_inst = root_ref.shape[0]
+  triangles (lights cannot be instanced).  Same IDLE-root instance loop as
+  _make_closest_inst_kernel; all-lanes-occluded also idles the remaining
+  instances' walks."""
 
-  def tile_body(ti, _):
-    o_w = (o_ref[ti, 0], o_ref[ti, 1], o_ref[ti, 2])
-    d_w = (d_ref[ti, 0], d_ref[ti, 1], d_ref[ti, 2])
-    valid = act_ref[ti] != 0
-    exclude = ex_ref[ti]
-    tmax_all = jnp.where(valid, t_ref[ti], -BIG)
-    stack_ref[0] = 0
-    cm_at, info_read = _smem_meta(cm_ref, ni_ref)
-    refs = (nb_ref, cm_at, info_read, stack_ref, q_ref)
+  def kernel(*args):
+    if meta_vmem:
+        (o_ref, d_ref, t_ref, act_ref, ex_ref, root_ref, ai_ref, nb_ref,
+         lt_ref, *rest) = args
+        cm_at, info_read = _vmem_meta(nb_ref)
+    else:
+        (o_ref, d_ref, t_ref, act_ref, ex_ref, root_ref, ai_ref, ni_ref,
+         cm_ref, nb_ref, lt_ref, *rest) = args
+        cm_at, info_read = _smem_meta(cm_ref, ni_ref)
+    occ_ref, st_ref, stack_ref, q_ref = rest
+    n_tiles = occ_ref.shape[0]
+    num_inst = root_ref.shape[0]
 
-    inv_w, sc_w, _ = _world_slab_pre(o_w, d_w)
-    pending = _pending_instances(ai_ref, num_inst, inv_w, sc_w, tmax_all)
-    stop = lambda occ: jnp.all((occ != 0) | ~valid)
-    no_excl = jnp.full(exclude.shape, -1, jnp.int32)
+    def tile_body(ti, _):
+      o_w = (o_ref[ti, 0], o_ref[ti, 1], o_ref[ti, 2])
+      d_w = (d_ref[ti, 0], d_ref[ti, 1], d_ref[ti, 2])
+      valid = act_ref[ti] != 0
+      exclude = ex_ref[ti]
+      tmax_all = jnp.where(valid, t_ref[ti], -BIG)
+      stack_ref[0] = 0
+      refs = (nb_ref, cm_at, info_read, stack_ref, q_ref)
 
-    def inst_body(c):
-        pending, rounds, leafs, tmax, occ = c
-        k = _ctz(pending)
-        o_l, d_l, inv, sc, octant = _inst_local_rays(ai_ref, k, o_w, d_w)
-        ex_k = jnp.where(k == 0, exclude, no_excl)
-        dloop = _simple_drain_loop(q_ref, lt_ref,
-                                   _anyhit_drain(o_l, d_l, ex_k))
-        rounds, leafs, tmax, occ = _run_walk(
-            refs, inv, sc, octant, root_ref[k], tmax, occ, dloop, stop,
-            rounds, leafs)
-        return pending & (pending - 1), rounds, leafs, tmax, occ
+      inv_w, sc_w, _ = _world_slab_pre(o_w, d_w)
+      stop = lambda occ: jnp.all((occ != 0) | ~valid)
+      no_excl = jnp.full(exclude.shape, -1, jnp.int32)
 
-    out = jax.lax.while_loop(
-        lambda c: (c[0] != 0) & ~stop(c[4]), inst_body,
-        (pending, jnp.int32(0), jnp.int32(0), tmax_all,
-         jnp.zeros(tmax_all.shape, jnp.int32)))
-    occ_ref[ti] = jnp.where((out[4] != 0) & valid, 1, 0)
-    st_ref[ti, 0] = out[1]
-    st_ref[ti, 1] = out[2]
-    return 0
+      def inst_body(k, c):
+          rounds, leafs, tmax, occ = c
+          pending = _inst_cull(ai_ref, k, inv_w, sc_w, tmax) & ~stop(occ)
+          o_l, d_l, inv, sc, octant = _inst_local_rays(ai_ref, k, o_w, d_w)
+          root = jnp.where(pending, root_ref[k], IDLE)
+          ex_k = jnp.where(k == 0, exclude, no_excl)
+          dloop = _simple_drain_loop(q_ref, lt_ref,
+                                     _anyhit_drain(o_l, d_l, ex_k))
+          rounds, leafs, tmax, occ = _run_walk(
+              refs, inv, sc, octant, root, tmax, occ, dloop, stop,
+              rounds, leafs)
+          return rounds, leafs, tmax, occ
 
-  jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+      out = jax.lax.fori_loop(
+          0, num_inst, inst_body,
+          (jnp.int32(0), jnp.int32(0), tmax_all,
+           jnp.zeros(tmax_all.shape, jnp.int32)))
+      occ_ref[ti] = jnp.where((out[3] != 0) & valid, 1, 0)
+      st_ref[ti, 0] = out[0]
+      st_ref[ti, 1] = out[1]
+      return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+  return kernel
 
 
 # ================================================================= wrappers
 
 def _to_tiles(x, n_tiles):
+    """Ray vectors -> (n_tiles, 3, SUBLANES, 128).
+
+    Accepts an ``[N, 3]`` array or a component triple of ``[N]`` arrays
+    (core.v3, the engine's hot-path layout — avoids materializing the
+    padded trailing-3 layout at all).
+    """
+    if isinstance(x, tuple):
+        return jnp.stack([c.reshape(n_tiles, SUBLANES, 128) for c in x],
+                         axis=1)
     return x.T.reshape(3, n_tiles, SUBLANES, 128).transpose(1, 0, 2, 3)
 
 
@@ -1069,6 +1101,8 @@ def _scalar_tiles(x, n_tiles):
 
 
 def _pad(x, n, fill):
+    if isinstance(x, tuple):
+        return tuple(_pad(c, n, fill) for c in x)
     if x.shape[0] == n:
         return x
     pad = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
@@ -1118,7 +1152,8 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
     wide-node steps, idle walks included).  ``leaf_hbm`` keeps the leaf
     table in HBM and streams rows per visit (big-scene mode).
     """
-    n = origin.shape[0]
+    as_v3 = isinstance(origin, tuple)
+    n = origin[0].shape[0] if as_v3 else origin.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
     n_tiles = n_pad // TILE
 
@@ -1156,7 +1191,9 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
     )(*ins)
 
     flat = lambda a: a.reshape(n_pad)[:n]
-    normal = jnp.stack([flat(nx), flat(ny), flat(nz)], axis=-1)
+    normal = (flat(nx), flat(ny), flat(nz))
+    if not as_v3:
+        normal = jnp.stack(normal, axis=-1)
     out = (flat(hit) != 0, flat(t), flat(u), flat(v), flat(prim), normal)
     if with_stats:
         out = out + ((jnp.sum(st[:, 0]), jnp.sum(st[:, 1])),)
@@ -1173,7 +1210,8 @@ def wide_traverse_anyhit(tables: WideTables, origin, direction, tmax,
 
     With ``with_stats=True`` returns ``(occluded, (walk_rounds,
     leaf_visits))`` instead of just ``occluded``."""
-    n = origin.shape[0]
+    as_v3 = isinstance(origin, tuple)
+    n = origin[0].shape[0] if as_v3 else origin.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
     n_tiles = n_pad // TILE
 
@@ -1208,10 +1246,11 @@ def wide_traverse_anyhit(tables: WideTables, origin, direction, tmax,
     return occluded
 
 
-@partial(jax.jit, static_argnames=("interpret", "with_stats"))
+@partial(jax.jit, static_argnames=("interpret", "with_stats", "meta_vmem"))
 def wide_traverse_closest_inst(tabs: InstancedTables, origin, direction,
                                tmax, active, interpret: bool = False,
-                               with_stats: bool = False):
+                               with_stats: bool = False,
+                               meta_vmem: bool = False):
     """Two-level closest-hit over base scene + all instances in ONE launch.
 
     Returns ``(hit, t, u, v, prim, inst, normal_local)``: ``inst`` is 0 for
@@ -1220,8 +1259,11 @@ def wide_traverse_closest_inst(tabs: InstancedTables, origin, direction,
     ``normal_local`` is the hit triangle's unnormalized geometric normal in
     the instance's LOCAL frame — apply the instance cofactor transform for
     world space.  ``with_stats`` appends ``(walk_rounds, leaf_visits)``.
+    ``meta_vmem`` reads node meta from the bounds-row mirror lanes (big
+    combined tables whose meta exceeds SMEM).
     """
-    n = origin.shape[0]
+    as_v3 = isinstance(origin, tuple)
+    n = origin[0].shape[0] if as_v3 else origin.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
     n_tiles = n_pad // TILE
 
@@ -1232,10 +1274,19 @@ def wide_traverse_closest_inst(tabs: InstancedTables, origin, direction,
 
     shp = (n_tiles, SUBLANES, 128)
     f32 = jnp.float32
+    if meta_vmem:
+        in_specs = [_VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _VMEM, _VMEM]
+        ins = (o, d, tm, act, tabs.root, tabs.affine,
+               tabs.wide.node_bounds, tabs.wide.leaf_tris)
+    else:
+        in_specs = [_VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _SMEM, _SMEM,
+                    _VMEM, _VMEM]
+        ins = (o, d, tm, act, tabs.root, tabs.affine, tabs.wide.node_info,
+               tabs.wide.child_meta, tabs.wide.node_bounds,
+               tabs.wide.leaf_tris)
     outs = pl.pallas_call(
-        _closest_inst_kernel,
-        in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _SMEM, _SMEM,
-                  _VMEM, _VMEM],
+        _make_closest_inst_kernel(meta_vmem),
+        in_specs=in_specs,
         out_specs=[_VMEM] * 9 + [_SMEM],
         out_shape=[jax.ShapeDtypeStruct(shp, jnp.int32),
                    jax.ShapeDtypeStruct(shp, f32),
@@ -1251,12 +1302,13 @@ def wide_traverse_closest_inst(tabs: InstancedTables, origin, direction,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(tabs.wide, n_pad)),
         interpret=interpret,
-    )(o, d, tm, act, tabs.root, tabs.affine, tabs.wide.node_info,
-      tabs.wide.child_meta, tabs.wide.node_bounds, tabs.wide.leaf_tris)
+    )(*ins)
     hit, t, u, v, prim, inst, nx, ny, nz, st = outs
 
     flat = lambda a: a.reshape(n_pad)[:n]
-    normal = jnp.stack([flat(nx), flat(ny), flat(nz)], axis=-1)
+    normal = (flat(nx), flat(ny), flat(nz))
+    if not as_v3:
+        normal = jnp.stack(normal, axis=-1)
     out = (flat(hit) != 0, flat(t), flat(u), flat(v), flat(prim),
            flat(inst), normal)
     if with_stats:
@@ -1264,14 +1316,16 @@ def wide_traverse_closest_inst(tabs: InstancedTables, origin, direction,
     return out
 
 
-@partial(jax.jit, static_argnames=("interpret", "with_stats"))
+@partial(jax.jit, static_argnames=("interpret", "with_stats", "meta_vmem"))
 def wide_traverse_anyhit_inst(tabs: InstancedTables, origin, direction,
                               tmax, exclude, active, interpret: bool = False,
-                              with_stats: bool = False):
+                              with_stats: bool = False,
+                              meta_vmem: bool = False):
     """Two-level any-hit over base scene + all instances in one launch.
 
     ``exclude`` (base-scene prim id) applies only within instance 0."""
-    n = origin.shape[0]
+    as_v3 = isinstance(origin, tuple)
+    n = origin[0].shape[0] if as_v3 else origin.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
     n_tiles = n_pad // TILE
 
@@ -1281,10 +1335,20 @@ def wide_traverse_anyhit_inst(tabs: InstancedTables, origin, direction,
     act = _scalar_tiles(_pad(active.astype(jnp.int32), n_pad, 0), n_tiles)
     ex = _scalar_tiles(_pad(exclude, n_pad, -1), n_tiles)
 
+    if meta_vmem:
+        in_specs = [_VMEM, _VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _VMEM,
+                    _VMEM]
+        ins = (o, d, tm, act, ex, tabs.root, tabs.affine,
+               tabs.wide.node_bounds, tabs.wide.leaf_tris)
+    else:
+        in_specs = [_VMEM, _VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _SMEM,
+                    _SMEM, _VMEM, _VMEM]
+        ins = (o, d, tm, act, ex, tabs.root, tabs.affine,
+               tabs.wide.node_info, tabs.wide.child_meta,
+               tabs.wide.node_bounds, tabs.wide.leaf_tris)
     occ, st = pl.pallas_call(
-        _anyhit_inst_kernel,
-        in_specs=[_VMEM, _VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _SMEM,
-                  _SMEM, _VMEM, _VMEM],
+        _make_anyhit_inst_kernel(meta_vmem),
+        in_specs=in_specs,
         out_specs=[_VMEM, _SMEM],
         out_shape=[jax.ShapeDtypeStruct((n_tiles, SUBLANES, 128), jnp.int32),
                    jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32)],
@@ -1292,8 +1356,7 @@ def wide_traverse_anyhit_inst(tabs: InstancedTables, origin, direction,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(tabs.wide, n_pad)),
         interpret=interpret,
-    )(o, d, tm, act, ex, tabs.root, tabs.affine, tabs.wide.node_info,
-      tabs.wide.child_meta, tabs.wide.node_bounds, tabs.wide.leaf_tris)
+    )(*ins)
     occluded = occ.reshape(n_pad)[:n] != 0
     if with_stats:
         return occluded, (jnp.sum(st[:, 0]), jnp.sum(st[:, 1]))

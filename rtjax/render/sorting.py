@@ -40,6 +40,34 @@ def ray_sort_keys(origin, direction, lo, hi, active):
     return jnp.where(active, key, jnp.int32(0x7FFFFFFF))
 
 
+def ray_sort_keys_v3(origin, direction, lo, hi, active):
+    """Component-triple form of :func:`ray_sort_keys` (engine hot path).
+
+    ``origin``/``direction`` are (x, y, z) triples of ``[N]`` arrays;
+    ``lo``/``hi`` are ``[3]`` scene-root bounds.
+    """
+    cells = []
+    for k in range(3):
+        g = (origin[k] - lo[k]) / jnp.maximum(hi[k] - lo[k], 1e-30)
+        cells.append(jnp.clip(g * 511.0, 0.0, 511.0).astype(jnp.int32))
+    m = (_part1by2(cells[0]) | (_part1by2(cells[1]) << 1)
+         | (_part1by2(cells[2]) << 2))
+    octant = ((direction[0] < 0).astype(jnp.int32)
+              | ((direction[1] < 0).astype(jnp.int32) << 1)
+              | ((direction[2] < 0).astype(jnp.int32) << 2))
+    key = (octant << 27) | m
+    return jnp.where(active, key, jnp.int32(0x7FFFFFFF))
+
+
+def ray_sort_keys_prim_v3(prim, direction, active):
+    """Component-triple form of :func:`ray_sort_keys_prim`."""
+    octant = ((direction[0] < 0).astype(jnp.int32)
+              | ((direction[1] < 0).astype(jnp.int32) << 1)
+              | ((direction[2] < 0).astype(jnp.int32) << 2))
+    key = (octant << 24) | jnp.clip(prim, 0, (1 << 24) - 1)
+    return jnp.where(active, key, jnp.int32(0x7FFFFFFF))
+
+
 def ray_sort_keys_prim(prim, direction, active):
     """Tree-locality sort keys: 3-bit octant | origin primitive index.
 

@@ -5,6 +5,10 @@ Gives the wavefront engine a single closest-hit/any-hit interface over
 (rtjax.accel.instancing).  Hits are identified by ``(src, prim)`` where
 src 0 = base scene and src k = instance k-1 — the index-pair equivalent of
 the reference's triangle-pointer identity (render.cuh:321, bvh.cuh:243).
+
+Ray origins/directions flow through as component triples (core.v3, the
+engine's hot-path layout); ``[N, 3]`` arrays are accepted too and the
+normal output matches the input convention.
 """
 
 from __future__ import annotations
@@ -13,15 +17,38 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ..accel.instancing import apply_affine_point, apply_affine_vector
-from ..core import vec
-from ..core.geometry import intersect_aabb, ray_slab_precompute
-from ..kernels.pallas_wide import (wide_traverse_anyhit,
+from ..core import v3
+from ..kernels.pallas_wide import (SMEM_META_CAP, wide_traverse_anyhit,
                                    wide_traverse_anyhit_inst,
                                    wide_traverse_closest,
                                    wide_traverse_closest_inst)
 from ..kernels.traversal import traverse_anyhit, traverse_closest
+
+
+def _inst_meta_vmem(tabs):
+    """Static decision: does the combined two-level meta exceed SMEM?
+    (Array sizes are static under jit; mirrors the scene-build tiering.)"""
+    return (tabs.wide.child_meta.size
+            + tabs.wide.node_info.size) * 4 >= SMEM_META_CAP
+
+_FLT_EPSILON = float(np.finfo(np.float32).eps)
+
+_warned = set()
+
+
+def _warn_once(key, msg):
+    if key not in _warned:
+        _warned.add(key)
+        from ..utils.log import logger
+        logger.warning(msg)
+
+
+def _warn_blas_fallback(mesh_id):
+    _warn_once(("blas_xla", mesh_id),
+               f"BLAS mesh {mesh_id}: wide tables exceed the VMEM guard; "
+               "its instances traverse on the (slow) XLA backend")
 
 
 def resolve_mode(scene, cfg):
@@ -44,52 +71,106 @@ def _backend(mode, interp, tables, bvh, tris, stack_size, with_stats=False,
                 partial(wide_traverse_anyhit, tables, interpret=interp,
                         with_stats=with_stats, leaf_hbm=leaf_hbm,
                         meta_vmem=meta_vmem))
-    return (partial(traverse_closest, bvh, tris, stack_size=stack_size,
-                    with_stats=with_stats),
-            partial(traverse_anyhit, bvh, tris, stack_size=stack_size,
-                    with_stats=with_stats))
+    # the at-cap median split can exceed BVH_MAX_DEPTH on degenerate scenes;
+    # size the XLA stack from the build's actual depth so pushes are never
+    # silently dropped (ADVICE r2 #1)
+    stack_size = max(stack_size, bvh.max_depth + 1)
+
+    def closest(o, d, tmax, active, **kw):
+        out = traverse_closest(bvh, tris, v3.to_array(o), v3.to_array(d),
+                               tmax, active, stack_size=stack_size,
+                               with_stats=with_stats)
+        return out[:5] + (v3.from_array(out[5]),) + out[6:]
+
+    def anyhit(o, d, tmax, exclude, active, **kw):
+        return traverse_anyhit(bvh, tris, v3.to_array(o), v3.to_array(d),
+                               tmax, exclude, active, stack_size=stack_size,
+                               with_stats=with_stats)
+
+    return closest, anyhit
+
+
+def _affine_point_v3(A, p):
+    """[3, 4] affine row-matrix applied to a component-triple point."""
+    return tuple(A[r, 0] * p[0] + A[r, 1] * p[1] + A[r, 2] * p[2] + A[r, 3]
+                 for r in range(3))
+
+
+def _affine_vector_v3(A, d):
+    return tuple(A[r, 0] * d[0] + A[r, 1] * d[1] + A[r, 2] * d[2]
+                 for r in range(3))
+
+
+def _matvec_v3(M, n):
+    """[3, 3] matrix applied to a component triple (cofactor normals)."""
+    return tuple(M[r, 0] * n[0] + M[r, 1] * n[1] + M[r, 2] * n[2]
+                 for r in range(3))
 
 
 def _instance_mask(inst, k, o, d):
-    """Vector slab test of all rays vs instance k's world AABB."""
-    inv_d, sc_o, neg = ray_slab_precompute(d, o)
-    ok, _ = intersect_aabb(inv_d, sc_o, neg,
-                           inst.aabb_lo[k][None, :], inst.aabb_hi[k][None, :])
-    return ok
+    """Vector slab test of all rays vs instance k's world AABB (triples)."""
+    lo, hi = inst.aabb_lo[k], inst.aabb_hi[k]
+    entry, exit_ = None, None
+    for c in range(3):
+        safe = jnp.where(jnp.abs(d[c]) < _FLT_EPSILON,
+                         jnp.copysign(_FLT_EPSILON, d[c]), d[c])
+        inv = 1.0 / safe
+        e0 = (lo[c] - o[c]) * inv
+        e1 = (hi[c] - o[c]) * inv
+        near = jnp.minimum(e0, e1)
+        far = jnp.maximum(e0, e1)
+        entry = near if entry is None else jnp.maximum(entry, near)
+        exit_ = far if exit_ is None else jnp.minimum(exit_, far)
+    return entry <= exit_
 
 
 def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
                   with_stats=False):
     """Closest hit over base scene + all instances.
 
-    Returns ``(hit, t, u, v, prim, src, normal)``; ``normal [N, 3]`` is the
-    world-space unnormalized geometric normal of the hit triangle (the
-    reference's cross(e1, e2), triangle.cuh:19), straight from the traversal
-    kernel — no post-hoc triangle gather.  With ``with_stats=True`` a
-    trailing ``(node_steps, leaf_visits)`` pair is appended (summed over the
-    base scene and every instance launch).
+    ``o``/``d`` may be ``[N, 3]`` arrays or component triples (core.v3);
+    the returned ``normal`` matches the input convention.  Returns
+    ``(hit, t, u, v, prim, src, normal)``; ``normal`` is the world-space
+    unnormalized geometric normal of the hit triangle (the reference's
+    cross(e1, e2), triangle.cuh:19), straight from the traversal kernel —
+    no post-hoc triangle gather.  With ``with_stats=True`` a trailing
+    ``(node_steps, leaf_visits)`` pair is appended (summed over the base
+    scene and every instance launch).
     """
+    as_v3 = isinstance(o, tuple)
+    if not as_v3:
+        o = v3.from_array(o)
+        d = v3.from_array(d)
     inst = getattr(scene, "instances", None)
+
+    def _ret(hit, t, u, v, prim, src, n_w, st=None):
+        if not as_v3:
+            n_w = v3.to_array(n_w)
+        out = (hit, t, u, v, prim, src, n_w)
+        return out + ((st,) if with_stats else ())
 
     # single-launch two-level fast path: the kernel walks base + all
     # instances itself (one dispatch, shared tmax pruning) instead of the
     # per-instance full-pool-width launches below
+    if inst is not None and mode == "pallas" and scene.inst_tables is None:
+        _warn_once("inst_loop",
+                   f"instanced scene traverses via the per-instance loop "
+                   f"(O({inst.num}) launches/bounce): combined tables "
+                   "exceeded the single-launch kernel's VMEM/SMEM caps")
     if inst is not None and mode == "pallas" and scene.inst_tables is not None:
-        out = wide_traverse_closest_inst(scene.inst_tables, o, d, tmax,
-                                         active, interpret=interp,
-                                         with_stats=with_stats)
+        out = wide_traverse_closest_inst(
+            scene.inst_tables, o, d, tmax, active, interpret=interp,
+            with_stats=with_stats,
+            meta_vmem=_inst_meta_vmem(scene.inst_tables))
         hit, t, u, v, prim, src, n_l = out[:7]
         t = jnp.where(hit, t, tmax)
         # local->world normal: instance k's cofactor transform (base hits
         # are already world — identity); K masked matvecs fuse on the VPU
         n_w = n_l
         for k in range(inst.num):
-            n_w = jnp.where((src == k + 1)[:, None],
-                            jnp.einsum("ij,nj->ni", inst.nrm[k], n_l,
-                                       precision="highest"), n_w)
-        if with_stats:
-            return (hit, t, u, v, prim, src, n_w, out[7])
-        return hit, t, u, v, prim, src, n_w
+            n_w = v3.where(src == k + 1, _matvec_v3(inst.nrm[k], n_l), n_w)
+        return _ret(hit, t, u, v, prim, src, n_w,
+                    out[7] if with_stats else None)
 
     closest, _ = _backend(mode, interp, scene.tables, scene.bvh, scene.tris,
                           cfg.stack_size, with_stats,
@@ -103,45 +184,53 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
     if inst is not None:
         for k in range(inst.num):
             blas = scene.blas[inst.mesh_id[k]]
-            c_k, _ = _backend(mode, interp, blas.tables, blas.bvh, blas.tris,
-                              cfg.stack_size, with_stats)
+            # a BLAS whose wide tables were dropped by the VMEM guard
+            # downgrades to the XLA backend instead of asserting (ADVICE r2
+            # #2); warn once — the O(I) per-instance loop is the slow path
+            mode_k = mode if blas.tables is not None else "xla"
+            if mode_k != mode:
+                _warn_blas_fallback(inst.mesh_id[k])
+            c_k, _ = _backend(mode_k, interp, blas.tables, blas.bvh,
+                              blas.tris, cfg.stack_size, with_stats)
             m = active & _instance_mask(inst, k, o, d)
-            o_l = apply_affine_point(inst.inv[k], o)
-            d_l = apply_affine_vector(inst.inv[k], d)  # NOT normalized:
+            o_l = _affine_point_v3(inst.inv[k], o)
+            d_l = _affine_vector_v3(inst.inv[k], d)  # NOT normalized:
             # preserves the ray parameter, so t compares in world units
             h2, t2, u2, v2, p2, n2, *st2 = c_k(o_l, d_l, t, m)
             if with_stats:
                 steps, leafs = steps + st2[0][0], leafs + st2[0][1]
             closer = h2 & (t2 < t)
             # cofactor transform = world cross of transformed edges
-            n2_w = jnp.einsum("ij,nj->ni", inst.nrm[k], n2,
-                              precision="highest")
+            n2_w = _matvec_v3(inst.nrm[k], n2)
             t = jnp.where(closer, t2, t)
             u = jnp.where(closer, u2, u)
             v = jnp.where(closer, v2, v)
             prim = jnp.where(closer, p2, prim)
             src = jnp.where(closer, k + 1, src)
-            n_w = jnp.where(closer[:, None], n2_w, n_w)
+            n_w = v3.where(closer, n2_w, n_w)
             hit = hit | closer
-    out = (hit, t, u, v, prim, src, n_w)
-    if with_stats:
-        out = out + ((steps, leafs),)
-    return out
+    return _ret(hit, t, u, v, prim, src, n_w,
+                (steps, leafs) if with_stats else None)
 
 
 def trace_anyhit(scene, cfg, mode, interp, o, d, tmax, exclude, active,
                  with_stats=False):
     """Occlusion over base scene + all instances.
 
-    ``exclude`` is a BASE-scene triangle index (shadow-ray light exclusion,
+    ``o``/``d`` may be ``[N, 3]`` arrays or component triples.  ``exclude``
+    is a BASE-scene triangle index (shadow-ray light exclusion,
     bvh.cuh:239-248); instanced geometry is never excluded.  With
     ``with_stats=True`` returns ``(occluded, (node_steps, leaf_visits))``.
     """
+    if not isinstance(o, tuple):
+        o = v3.from_array(o)
+        d = v3.from_array(d)
     inst = getattr(scene, "instances", None)
     if inst is not None and mode == "pallas" and scene.inst_tables is not None:
-        return wide_traverse_anyhit_inst(scene.inst_tables, o, d, tmax,
-                                         exclude, active, interpret=interp,
-                                         with_stats=with_stats)
+        return wide_traverse_anyhit_inst(
+            scene.inst_tables, o, d, tmax, exclude, active, interpret=interp,
+            with_stats=with_stats,
+            meta_vmem=_inst_meta_vmem(scene.inst_tables))
 
     _, anyhit = _backend(mode, interp, scene.tables, scene.bvh, scene.tris,
                          cfg.stack_size, with_stats,
@@ -152,14 +241,15 @@ def trace_anyhit(scene, cfg, mode, interp, o, d, tmax, exclude, active,
         occ, (steps, leafs) = occ
 
     if inst is not None:
-        no_excl = jnp.full(o.shape[0], -1, jnp.int32)
+        no_excl = jnp.full(o[0].shape[0], -1, jnp.int32)
         for k in range(inst.num):
             blas = scene.blas[inst.mesh_id[k]]
-            _, a_k = _backend(mode, interp, blas.tables, blas.bvh, blas.tris,
-                              cfg.stack_size, with_stats)
+            mode_k = mode if blas.tables is not None else "xla"
+            _, a_k = _backend(mode_k, interp, blas.tables, blas.bvh,
+                              blas.tris, cfg.stack_size, with_stats)
             m = active & ~occ & _instance_mask(inst, k, o, d)
-            o_l = apply_affine_point(inst.inv[k], o)
-            d_l = apply_affine_vector(inst.inv[k], d)
+            o_l = _affine_point_v3(inst.inv[k], o)
+            d_l = _affine_vector_v3(inst.inv[k], d)
             occ_k = a_k(o_l, d_l, tmax, no_excl, m)
             if with_stats:
                 occ_k, (s2, l2) = occ_k
@@ -170,6 +260,16 @@ def trace_anyhit(scene, cfg, mode, interp, o, d, tmax, exclude, active,
     return occ
 
 
+def _hit_material_index(scene, src, prim):
+    prim_safe = jnp.clip(prim, 0, scene.tris.num - 1)
+    mat_idx = scene.prim_material[prim_safe]
+    inst = getattr(scene, "instances", None)
+    if inst is not None:
+        for k in range(inst.num):
+            mat_idx = jnp.where(src == k + 1, inst.material[k], mat_idx)
+    return mat_idx
+
+
 def gather_hit_materials(scene, src, prim):
     """Material params for hits: ``(mtype, albedo, ior)``.
 
@@ -177,12 +277,9 @@ def gather_hit_materials(scene, src, prim):
     traversal (trace_closest), so the only per-hit table lookup left is one
     [P] material-index gather plus the small-table material select.
     """
-    prim_safe = jnp.clip(prim, 0, scene.tris.num - 1)
-    mat_idx = scene.prim_material[prim_safe]
+    return scene.materials.gather(_hit_material_index(scene, src, prim))
 
-    inst = getattr(scene, "instances", None)
-    if inst is not None:
-        for k in range(inst.num):
-            mat_idx = jnp.where(src == k + 1, inst.material[k], mat_idx)
 
-    return scene.materials.gather(mat_idx)
+def gather_hit_materials_v3(scene, src, prim):
+    """Like :func:`gather_hit_materials`, albedo as a component triple."""
+    return scene.materials.gather_v3(_hit_material_index(scene, src, prim))

@@ -14,14 +14,18 @@ Here the whole frame is ONE ``lax.while_loop`` on device:
   (coherent) camera rays, and fully-inactive lanes pool into packet tiles
   that exit on their first step.  The state lives permanently in sorted
   order — there is no inverse permutation, no per-array gathers (an XLA
-  [2^17] gather costs ~1 ms on v5e; the variadic sort moves all ~20
+  [2^17] gather costs ~1 ms on v5e; the variadic sort moves all ~25
   payload columns in about one);
 - hit geometry (t, world geometric normal) comes back FROM the traversal
   kernels, so shading needs no triangle-table gathers at all; the hit
   position is ray_o + t*ray_d;
 - framebuffer atomics (vec3.cuh:149-153) become deterministic scatter-adds;
 - the two host sync points per bounce (render.cuh:433-434,444-445) disappear:
-  the loop condition is computed on device.
+  the loop condition is computed on device;
+- every per-lane vector quantity lives as a COMPONENT TRIPLE of ``[N]``
+  arrays (core.v3), not ``[N, 3]``: the padded trailing-3 layout costs
+  ~3.8x on elementwise stage math on TPU (docs/PERF_NOTES.md layout probe),
+  and the engine floor is mostly stage math.
 
 Deliberate behavioral deviations from the reference (all documented against
 file:line, none visible statistically):
@@ -55,17 +59,18 @@ import jax.numpy as jnp
 
 from ..config import RenderConfig
 from ..constants import DEAD_BOUNCES, INVALID_INDEX
-from ..core import rng, vec
-from ..core.geometry import intersect_triangle, spawn_offset_ray
+from ..core import rng, v3
+from ..core.geometry import intersect_triangle_v3, spawn_offset_ray_v3
 from ..core.sampling import power_heuristic
 from ..core.tables import take_rows
-from .trace import (gather_hit_materials, resolve_mode, trace_anyhit,
+from .trace import (gather_hit_materials_v3, resolve_mode, trace_anyhit,
                     trace_closest)
 from ..scene.camera import Camera
-from ..scene.light import gather_light, is_delta, pdf_li, sample_li
-from ..scene.material import get_f, is_specular, sample_f
+from ..scene.light import gather_light_v3, is_delta, pdf_li_v3, sample_li_v3
+from ..scene.material import get_f_v3, is_specular, sample_f_v3
 from ..scene.scene import Scene
-from .sorting import ray_sort_keys, ray_sort_keys_prim, sort_pytree_by_key
+from .sorting import ray_sort_keys_v3, ray_sort_keys_prim_v3, \
+    sort_pytree_by_key
 
 # RNG draw-site ids (one threefry sweep per site per iteration)
 _S_RR = 0
@@ -74,7 +79,7 @@ _S_LIGHT_PICK = 4
 _S_LIGHT_UV = 5     # 5,6
 _S_BSDF2 = 7        # 7,8,9
 _S_GEN = 10         # 10,11
-NUM_RNG_SITES = 16
+NUM_RNG_SITES = 12
 
 
 @jax.tree_util.register_dataclass
@@ -86,20 +91,23 @@ class PathState:
     slot carries the hit distance and the world-space geometric normal
     straight from the traversal kernel — shading reconstructs the hit point
     as ``ray_o + t*ray_d`` and never touches the triangle tables.
+
+    Vector fields are component triples ``(x, y, z)`` of ``[N]`` arrays
+    (see module docstring / core.v3).
     """
 
     pixel: jax.Array    # [N] int32
-    ray_o: jax.Array    # [N, 3] float32
-    ray_d: jax.Array    # [N, 3] float32
+    ray_o: tuple        # 3 x [N] float32
+    ray_d: tuple        # 3 x [N] float32
     hit: jax.Array      # [N] bool
     t: jax.Array        # [N] float32 hit distance (inf on miss)
-    normal: jax.Array   # [N, 3] float32 unnormalized geometric normal
+    normal: tuple       # 3 x [N] float32 unnormalized geometric normal
                         # (cross(e1, e2) in world space, triangle.cuh:19)
     prim: jax.Array     # [N] int32 (triangle index within src, -1 = none)
     src: jax.Array      # [N] int32 hit source: 0 = base scene, k = instance
     bounces: jax.Array  # [N] int32
-    beta: jax.Array     # [N, 3] float32 throughput
-    acc: jax.Array      # [N, 3] float32 radiance accumulated for the slot's
+    beta: tuple         # 3 x [N] float32 throughput
+    acc: tuple          # 3 x [N] float32 radiance accumulated for the slot's
                         # CURRENT pixel; flushed to the framebuffer when the
                         # slot regenerates (one scatter-add per iteration
                         # instead of three, replacing per-contribution
@@ -109,31 +117,32 @@ class PathState:
 def make_initial_state(n: int) -> PathState:
     """Fresh pool: every slot dead so iteration 0 routes all to gen
     (render.cuh:75-82 uses bounces=INT_MAX for the same purpose)."""
+    zeros = lambda: jnp.zeros(n, jnp.float32)
     return PathState(
         pixel=jnp.zeros(n, jnp.int32),
-        ray_o=jnp.zeros((n, 3), jnp.float32),
-        ray_d=jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (n, 1)),
+        ray_o=(zeros(), zeros(), zeros()),
+        ray_d=(zeros(), zeros(), jnp.ones(n, jnp.float32)),
         hit=jnp.zeros(n, bool),
         t=jnp.full(n, jnp.inf, jnp.float32),
-        normal=jnp.zeros((n, 3), jnp.float32),
+        normal=(zeros(), zeros(), zeros()),
         prim=jnp.full(n, INVALID_INDEX, jnp.int32),
         src=jnp.zeros(n, jnp.int32),
         bounces=jnp.full(n, DEAD_BOUNCES, jnp.int32),
-        beta=jnp.ones((n, 3), jnp.float32),
-        acc=jnp.zeros((n, 3), jnp.float32),
+        beta=(jnp.ones(n, jnp.float32),) * 3,
+        acc=(zeros(), zeros(), zeros()),
     )
 
 
 def _accum(acc, value, mask):
-    """Per-slot radiance accumulation.
+    """Per-slot radiance accumulation (component triples).
 
     Non-finite contributions are dropped: degenerate samples (e.g. a cosine
     sample that cancels the normal, material.cuh:65, pdf -> 0) produce the
     occasional inf/NaN in any float path tracer; the reference would write
     them into the framebuffer via atomics, we refuse.
     """
-    ok = mask & jnp.all(jnp.isfinite(value), axis=-1)
-    return acc + jnp.where(ok[:, None], value, 0.0)
+    ok = mask & v3.isfinite(value)
+    return tuple(a + jnp.where(ok, c, 0.0) for a, c in zip(acc, value))
 
 
 def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
@@ -166,24 +175,27 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     light_idx = jnp.where(state.src == 0, scene.prim_light[prim_safe],
                           INVALID_INDEX)
     emit0 = state.hit & (light_idx >= 0) & (state.bounces == 0)
-    emit_val = take_rows(scene.lights.emit, jnp.maximum(light_idx, 0))
+    emit_li = jnp.maximum(light_idx, 0)
+    emit_val = tuple(take_rows(scene.lights.emit[:, k], emit_li)
+                     for k in range(3))
     acc = _accum(state.acc, emit_val, emit0)
 
     # constant environment light on miss (the reference's unimplemented
     # TODO at render.cuh:105): pure BSDF-sampled channel, never sampled by
     # NEE, so no MIS weighting is needed
     env_mask = ~state.hit & (state.bounces <= cfg.max_bounces)
-    acc = _accum(acc, state.beta * scene.env_radiance, env_mask)
+    env = scene.env_radiance
+    acc = _accum(acc, v3.mul(state.beta, (env[0], env[1], env[2])), env_mask)
 
     alive = state.bounces < cfg.max_bounces
     beta = state.beta
-    beta_max = vec.vmax(beta)
+    beta_max = v3.vmax(beta)
     rr_cand = alive & state.hit & (state.bounces > cfg.rr_start) & \
         (beta_max < cfg.rr_threshold)
     p_term = jnp.maximum(0.05, 1.0 - beta_max)
     rr_kill = rr_cand & (draw(_S_RR) < p_term)
-    beta = jnp.where((rr_cand & ~rr_kill)[:, None],
-                     beta / (1.0 - p_term)[:, None], beta)
+    rr_boost = jnp.where(rr_cand & ~rr_kill, 1.0 / (1.0 - p_term), 1.0)
+    beta = v3.scale(rr_boost, beta)
 
     bounces = state.bounces + 1
     mat_mask = alive & state.hit & ~rr_kill
@@ -204,13 +216,14 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     state_sorted = cfg.sort_rays and mode == "pallas"
     if state_sorted:
         if cfg.sort_key == "prim":
-            keys = ray_sort_keys_prim(
+            keys = ray_sort_keys_prim_v3(
                 jnp.where(mat_mask, state.prim, -1), state.ray_d, mat_mask)
         else:
             root_lo, root_hi = scene.bvh.bmin[0], scene.bvh.bmax[0]
-            hp = state.ray_o + state.t[:, None] * state.ray_d
-            hp = jnp.where(mat_mask[:, None], hp, 0.0)
-            keys = ray_sort_keys(hp, state.ray_d, root_lo, root_hi, mat_mask)
+            hp_t = jnp.where(mat_mask, state.t, 0.0)
+            hp = v3.add(state.ray_o, v3.scale(hp_t, state.ray_d))
+            keys = ray_sort_keys_v3(hp, state.ray_d, root_lo, root_hi,
+                                    mat_mask)
         bundle = (state.pixel, state.ray_o, state.ray_d, state.t,
                   state.normal, state.prim, state.src, bounces, beta, acc,
                   mat_mask) + ((limbo,) if cfg.reference_parity else ())
@@ -225,60 +238,61 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     gen_mask = ~mat_mask & ~limbo if cfg.reference_parity else ~mat_mask
 
     # ---- mat: shading (render.cuh:139-248) --------------------------------
-    mtype, albedo, ior = gather_hit_materials(scene, src, prim)
-    multiplier = beta * num_lights
+    mtype, albedo, ior = gather_hit_materials_v3(scene, src, prim)
+    multiplier = v3.scale(jnp.float32(num_lights), beta)
     # hit point from the ray equation (the reference reconstructs it
     # barycentrically, triangle.cuh:15; Wächter–Binder offsetting in
     # spawn_offset_ray absorbs the equivalent rounding either way)
-    p = ray_o_p + jnp.where(mat_mask, t_p, 0.0)[:, None] * ray_d_p
-    n_g = -vec.normalize(normal)  # geometric normal (render.cuh:153)
+    p = v3.add(ray_o_p, v3.scale(jnp.where(mat_mask, t_p, 0.0), ray_d_p))
+    n_g = v3.neg(v3.normalize(normal))  # geometric normal (render.cuh:153)
     wo = ray_d_p
 
     # (1) BSDF-sample the next path ray (render.cuh:158-171)
-    f1, wi1, pdf1, n1 = sample_f(mtype, albedo, ior, wo, n_g,
-                                 draw(_S_BSDF1), draw(_S_BSDF1 + 1),
-                                 draw(_S_BSDF1 + 2))
-    next_o, next_d, _ = spawn_offset_ray(p, n1, wi1)
-    next_beta = beta * f1 * (vec.dot(wi1, n1) / pdf1)[:, None]
+    f1, wi1, pdf1, n1 = sample_f_v3(mtype, albedo, ior, wo, n_g,
+                                    draw(_S_BSDF1), draw(_S_BSDF1 + 1),
+                                    draw(_S_BSDF1 + 2))
+    next_o, next_d, _ = spawn_offset_ray_v3(p, n1, wi1)
+    next_beta = v3.mul(beta, v3.scale(v3.dot(wi1, n1) / pdf1, f1))
     # degenerate sample (pdf ~ 0) -> zero throughput; RR then kills the path
-    next_beta = jnp.where(jnp.all(jnp.isfinite(next_beta), -1)[:, None],
-                          next_beta, 0.0)
+    nb_ok = v3.isfinite(next_beta)
+    next_beta = tuple(jnp.where(nb_ok, c, 0.0) for c in next_beta)
 
     if num_lights > 0:
         # uniform light pick (render.cuh:178-180)
         pick = jnp.minimum((draw(_S_LIGHT_PICK) * num_lights).astype(jnp.int32),
                            num_lights - 1)
-        l_type, _, l_emit, _, ltp0, lte1, lte2, ltn = gather_light(
-            scene.lights, pick)
+        lrec = gather_light_v3(scene.lights, pick)
+        l_type, _, l_emit, ltri = lrec[0], lrec[1], lrec[2], lrec[3]
+        ltp0, lte1, lte2, ltn = lrec[4], lrec[5], lrec[6], lrec[7]
         delta = is_delta(l_type)
 
         # (2) light-sampling MIS -> AH shadow ray (render.cuh:183-210)
-        wi_l, li, light_t, light_pdf, ltri = sample_li(
+        wi_l, li, light_t, light_pdf, ltri = sample_li_v3(
             scene.lights, pick, p,
-            draw(_S_LIGHT_UV), draw(_S_LIGHT_UV + 1))
-        n_l = jnp.where(vec.dot(n_g, wi_l)[:, None] > 0.0, n_g, -n_g)
-        got_f, f_l, scat_pdf = get_f(mtype, albedo, wo, wi_l, n_l)
-        f_lc = f_l * vec.dot(wi_l, n_l)[:, None]
+            draw(_S_LIGHT_UV), draw(_S_LIGHT_UV + 1), rec=lrec)
+        n_l = v3.where(v3.dot(n_g, wi_l) > 0.0, n_g, v3.neg(n_g))
+        got_f, f_l, scat_pdf = get_f_v3(mtype, albedo, wo, wi_l, n_l)
+        f_lc = v3.scale(v3.dot(wi_l, n_l), f_l)
         # utility.cuh:53 declares power_heuristic(float, int): the second
         # pdf is C-truncated at both call sites (render.cuh:201,229)
         g_l = jnp.trunc(scat_pdf) if cfg.reference_parity else scat_pdf
         w_l = jnp.where(delta, 1.0, power_heuristic(light_pdf, g_l))
-        ah_L = multiplier * f_lc * li * (w_l / light_pdf)[:, None]
-        ah_o, ah_d, ah_tmax = spawn_offset_ray(p, n_l, wi_l, light_t)
+        ah_L = v3.mul(multiplier, v3.scale(w_l / light_pdf, v3.mul(f_lc, li)))
+        ah_o, ah_d, ah_tmax = spawn_offset_ray_v3(p, n_l, wi_l, light_t)
         ah_mask = mat_mask & got_f
 
         # (3) BSDF-sampling MIS -> CH shadow ray (render.cuh:213-245)
-        f2, wi2, pdf2, n2 = sample_f(mtype, albedo, ior, wo, n_g,
-                                     draw(_S_BSDF2), draw(_S_BSDF2 + 1),
-                                     draw(_S_BSDF2 + 2))
-        f2c = f2 * vec.dot(wi2, n2)[:, None]
+        f2, wi2, pdf2, n2 = sample_f_v3(mtype, albedo, ior, wo, n_g,
+                                        draw(_S_BSDF2), draw(_S_BSDF2 + 1),
+                                        draw(_S_BSDF2 + 2))
+        f2c = v3.scale(v3.dot(wi2, n2), f2)
         spec = is_specular(mtype)
-        lpdf2 = pdf_li(scene.lights, pick, p, wi2)
+        lpdf2 = pdf_li_v3(scene.lights, pick, p, wi2, rec=lrec)
         g_2 = jnp.trunc(lpdf2) if cfg.reference_parity else lpdf2
         w2 = jnp.where(spec, 1.0, power_heuristic(pdf2, g_2))
         chs_mask = mat_mask & ~delta & (spec | (lpdf2 > 0.0))
-        chs_L = multiplier * f2c * l_emit * (w2 / pdf2)[:, None]
-        chs_o, chs_d, _ = spawn_offset_ray(p, n2, wi2)
+        chs_L = v3.mul(multiplier, v3.scale(w2 / pdf2, v3.mul(f2c, l_emit)))
+        chs_o, chs_d, _ = spawn_offset_ray_v3(p, n2, wi2)
         # "closest hit == the target triangle" (render.cuh:321)  <=>  the ray
         # hits the target at t AND nothing else hits with t' < t.  One direct
         # MT test + an any-hit query (excluding the target) replaces the
@@ -292,16 +306,18 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
             # masked-off channel contributes 0 there either way.)
             prim_s2 = jnp.clip(prim, 0, scene.tris.num - 1)
             chs_tgt = jnp.where(src == 0, prim, INVALID_INDEX)
-            chs_hit_l, chs_t, _, _ = intersect_triangle(
-                chs_o, chs_d, jnp.inf, scene.tris.p0[prim_s2],
-                scene.tris.e1[prim_s2], scene.tris.e2[prim_s2],
-                scene.tris.n[prim_s2])
+            own_tri = tuple(
+                tuple(take_rows(getattr(scene.tris, f)[:, k], prim_s2)
+                      for k in range(3))
+                for f in ("p0", "e1", "e2", "n"))
+            chs_hit_l, chs_t, _, _ = intersect_triangle_v3(
+                chs_o, chs_d, jnp.inf, *own_tri)
             chs_mask = chs_mask & chs_hit_l & (src == 0)
         else:
             # target fixed to the picked light (deviation 3); its triangle is
             # embedded in the light table — no scene gather
             chs_tgt = ltri
-            chs_hit_l, chs_t, _, _ = intersect_triangle(
+            chs_hit_l, chs_t, _, _ = intersect_triangle_v3(
                 chs_o, chs_d, jnp.inf, ltp0, lte1, lte2, ltn)
             chs_mask = chs_mask & chs_hit_l
 
@@ -312,8 +328,8 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     pix_new = cam_id // cfg.num_samples  # pixel-major sample ids
     ci = (pix_new % cfg.width).astype(jnp.float32)
     cj = (pix_new // cfg.width).astype(jnp.float32)
-    cam_o, cam_d = camera.get_rays((ci + draw(_S_GEN)) / cfg.width,
-                                   (cj + draw(_S_GEN + 1)) / cfg.height)
+    cam_o, cam_d = camera.get_rays_v3((ci + draw(_S_GEN)) / cfg.width,
+                                      (cj + draw(_S_GEN + 1)) / cfg.height)
     num_gen = jnp.sum(gen_mask).astype(jnp.int32)
 
     # flush the radiance accumulators of slots leaving their pixel: ONE
@@ -321,18 +337,18 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     # three atomic-add channels, render.cuh:102,292,322).  XLA's TPU
     # scatter costs ~20 ns per update SLOT regardless of value, and after
     # the sort every flushing (dead) lane sits in a contiguous SUFFIX of
-    # the pool — so scatter only the smallest power-of-two suffix window
-    # covering the dead lanes (full width when unsorted)
-    flush = jnp.where(gen_mask[:, None], acc, 0.0)
+    # the pool — so scatter only the quarter-chunks that overlap the dead
+    # suffix (full width when unsorted)
+    flush = tuple(jnp.where(gen_mask, c, 0.0) for c in acc)
     if state_sorted and n % 4 == 0:
-        # scatter only the quarter-chunks that overlap the dead suffix:
-        # chunk c holds flushes iff its end reaches past the live prefix
         csz = n // 4
         num_mat_i = jnp.sum(mat_mask).astype(jnp.int32)
 
         def flush_chunk(c, fb):
             def do(fb):
-                vals = jax.lax.dynamic_slice_in_dim(flush, c * csz, csz)
+                vals = jnp.stack(
+                    [jax.lax.dynamic_slice_in_dim(fc, c * csz, csz)
+                     for fc in flush], axis=-1)
                 pix = jax.lax.dynamic_slice_in_dim(pixel, c * csz, csz)
                 return fb.at[pix].add(vals, mode="drop")
 
@@ -341,16 +357,16 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
 
         fb = jax.lax.fori_loop(0, 4, flush_chunk, fb)
     else:
-        fb = fb.at[pixel].add(flush, mode="drop")
-    acc = jnp.where(gen_mask[:, None], 0.0, acc)
+        fb = fb.at[pixel].add(jnp.stack(flush, axis=-1), mode="drop")
+    acc = tuple(jnp.where(gen_mask, 0.0, c) for c in acc)
 
     # merge mat-continued and regenerated rays into the path-ray pool
-    m = mat_mask[:, None]
-    g = got_ray[:, None]
-    ray_o = jnp.where(m, next_o, jnp.where(g, cam_o, ray_o_p))
-    ray_d = jnp.where(m, next_d, jnp.where(g, cam_d, ray_d_p))
+    ray_o = v3.where(mat_mask, next_o, v3.where(got_ray, cam_o, ray_o_p))
+    ray_d = v3.where(mat_mask, next_d, v3.where(got_ray, cam_d, ray_d_p))
     pixel = jnp.where(got_ray, pix_new, pixel)
-    beta = jnp.where(m, next_beta, jnp.where(g, 1.0, beta))
+    one = (jnp.float32(1.0),) * 3
+    beta = v3.where(mat_mask, next_beta, v3.where(got_ray, one, beta))
+    beta = tuple(jnp.broadcast_to(c, mat_mask.shape) for c in beta)
     bounces = jnp.where(got_ray, 0, jnp.where(gen_mask, DEAD_BOUNCES, bounces))
 
     # ---- traversal (render.cuh:278-328) ------------------------------------
@@ -368,7 +384,9 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         # sort order, so each half keeps its tile coherence): half the
         # dispatches and scene-table DMAs of separate ah/ch launches
         cat = lambda a, b: jnp.concatenate([a, b])
-        occ2 = t_anyhit(cat(ah_o, chs_o), cat(ah_d, chs_d),
+        cat3 = lambda a, b: tuple(jnp.concatenate([x, y])
+                                  for x, y in zip(a, b))
+        occ2 = t_anyhit(cat3(ah_o, chs_o), cat3(ah_d, chs_d),
                         cat(ah_tmax, chs_t), cat(ltri, chs_tgt),
                         cat(ah_mask, chs_mask))
         if cfg.detailed_stats:
@@ -386,7 +404,7 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         # but their payload must survive for the next re-roll
         hit = hit | limbo
         ht = jnp.where(limbo, t_p, ht)
-        hnrm = jnp.where(limbo[:, None], normal, hnrm)
+        hnrm = v3.where(limbo, normal, hnrm)
         hprim = jnp.where(limbo, prim, hprim)
         hsrc = jnp.where(limbo, src, hsrc)
 

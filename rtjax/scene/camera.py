@@ -53,6 +53,17 @@ class Camera:
             vertical=jnp.asarray(vertical.astype(np.float32)),
         )
 
+    def get_rays_v3(self, x, y):
+        """Component-triple form of :func:`get_rays` (engine hot path)."""
+        from ..core import v3
+        d = tuple(self.upper_left[k] + x * self.horizontal[k]
+                  + y * self.vertical[k] - self.lookfrom[k]
+                  for k in range(3))
+        d = v3.normalize(d)
+        origin = tuple(jnp.broadcast_to(self.lookfrom[k], d[0].shape)
+                       for k in range(3))
+        return origin, d
+
     def get_rays(self, x, y):
         """Rays through normalized image coords ``x, y in [0, 1)`` (batched).
 

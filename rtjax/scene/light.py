@@ -15,8 +15,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import INVALID_INDEX
-from ..core import vec
-from ..core.geometry import Triangles, intersect_triangle
+from ..core import v3, vec
+from ..core.geometry import (Triangles, intersect_triangle,
+                             intersect_triangle_v3)
 from ..core.sampling import sample_triangle_barycentric
 from ..core.tables import take_rows
 
@@ -96,6 +97,59 @@ def gather_light(lights: LightTable, pick):
                   lights.tri_p0, lights.tri_e1, lights.tri_e2, lights.tri_n))
 
 
+def _rows_v3(table, pick):
+    """[L, 3] table -> per-ray component triple via [N]-lane select chains."""
+    return tuple(take_rows(table[:, k], pick) for k in range(3))
+
+
+def gather_light_v3(lights: LightTable, pick):
+    """Component-triple form of :func:`gather_light` (engine hot path)."""
+    return (take_rows(lights.ltype, pick),
+            _rows_v3(lights.pos, pick),
+            _rows_v3(lights.emit, pick),
+            take_rows(lights.tri, pick),
+            _rows_v3(lights.tri_p0, pick),
+            _rows_v3(lights.tri_e1, pick),
+            _rows_v3(lights.tri_e2, pick),
+            _rows_v3(lights.tri_n, pick))
+
+
+def sample_li_v3(lights: LightTable, pick, isect_p, u1, u2, rec=None):
+    """Component-triple form of :func:`sample_li` (engine hot path).
+
+    ``rec`` optionally passes a pre-gathered :func:`gather_light_v3` record
+    so the engine gathers the light row once per iteration.
+    """
+    ltype, pos, emit, ltri, tp0, te1, te2, tn = \
+        rec if rec is not None else gather_light_v3(lights, pick)
+
+    # point light (light.cuh:31-37)
+    to_l = v3.sub(pos, isect_p)
+    t_pt = v3.length(to_l)
+    wi_pt = v3.scale(1.0 / t_pt, to_l)
+    li_pt = v3.scale(1.0 / (t_pt * t_pt), emit)
+    pdf_pt = jnp.ones_like(t_pt)
+
+    # area light (light.cuh:38-47); p(u,v) = p0 - u*e1 + v*e2
+    su, sv = sample_triangle_barycentric(u1, u2)
+    tri_p = v3.add(v3.sub(tp0, v3.scale(su, te1)), v3.scale(sv, te2))
+    n_len = v3.length(tn)
+    pdf_area = 1.0 / (0.5 * n_len)  # 1/area (triangle.cuh:78-79)
+    to_a = v3.sub(tri_p, isect_p)
+    dist_sq = v3.length_squared(to_a)
+    t_ar = jnp.sqrt(dist_sq)
+    wi_ar = v3.scale(1.0 / t_ar, to_a)
+    # area->solid-angle pdf conversion with |cos| (double-sided emitter)
+    pdf_ar = pdf_area * dist_sq * n_len / v3.abs_dot(tn, wi_ar)
+
+    is_pt = ltype == POINT_LIGHT
+    unit_wi = v3.where(is_pt, wi_pt, wi_ar)
+    li = v3.where(is_pt, li_pt, emit)
+    t = jnp.where(is_pt, t_pt, t_ar)
+    pdf = jnp.where(is_pt, pdf_pt, pdf_ar)
+    return unit_wi, li, t, pdf, ltri
+
+
 def sample_li(lights: LightTable, pick, isect_p, u1, u2):
     """Batched ``Light::sample_Li`` (light.cuh:29-48).
 
@@ -108,32 +162,24 @@ def sample_li(lights: LightTable, pick, isect_p, u1, u2):
     light's triangle index (INVALID_INDEX for point lights).  The reference
     always returns true for both light types, so there is no valid mask.
     """
-    ltype, pos, emit, ltri, tp0, te1, te2, tn = gather_light(lights, pick)
+    unit_wi, li, t, pdf, ltri = sample_li_v3(
+        lights, pick, v3.from_array(isect_p), u1, u2)
+    return v3.to_array(unit_wi), v3.to_array(li), t, pdf, ltri
 
-    # point light (light.cuh:31-37)
-    to_l = pos - isect_p
-    t_pt = vec.length(to_l)
-    wi_pt = to_l / t_pt[..., None]
-    li_pt = emit / (t_pt * t_pt)[..., None]
-    pdf_pt = jnp.ones_like(t_pt)
 
-    # area light (light.cuh:38-47); p(u,v) = p0 - u*e1 + v*e2
-    su, sv = sample_triangle_barycentric(u1, u2)
-    tri_p = tp0 - su[..., None] * te1 + sv[..., None] * te2
-    pdf_area = 1.0 / (0.5 * vec.length(tn))  # 1/area (triangle.cuh:78-79)
-    to_a = tri_p - isect_p
-    dist_sq = vec.length_squared(to_a)
-    t_ar = jnp.sqrt(dist_sq)
-    wi_ar = to_a / t_ar[..., None]
-    # area->solid-angle pdf conversion with |cos| (double-sided emitter)
-    pdf_ar = pdf_area * dist_sq / vec.abs_dot(vec.normalize(tn), wi_ar)
-
-    is_pt = ltype == POINT_LIGHT
-    unit_wi = jnp.where(is_pt[..., None], wi_pt, wi_ar)
-    li = jnp.where(is_pt[..., None], li_pt, emit)
-    t = jnp.where(is_pt, t_pt, t_ar)
-    pdf = jnp.where(is_pt, pdf_pt, pdf_ar)
-    return unit_wi, li, t, pdf, ltri
+def pdf_li_v3(lights: LightTable, pick, isect_p, unit_wi, rec=None):
+    """Component-triple form of :func:`pdf_li` (engine hot path)."""
+    ltype, _, _, _, tp0, te1, te2, tn = \
+        rec if rec is not None else gather_light_v3(lights, pick)
+    hit, _, hu, hv = intersect_triangle_v3(
+        isect_p, unit_wi, jnp.inf, tp0, te1, te2, tn)
+    lp = v3.add(v3.sub(tp0, v3.scale(hu, te1)), v3.scale(hv, te2))
+    n_len = v3.length(tn)
+    area = 0.5 * n_len
+    pdf = v3.length_squared(v3.sub(lp, isect_p)) * n_len / (
+        area * v3.abs_dot(tn, unit_wi))
+    valid = (ltype == AREA_LIGHT) & hit
+    return jnp.where(valid, pdf, 0.0)
 
 
 def pdf_li(lights: LightTable, pick, isect_p, unit_wi):
@@ -142,12 +188,5 @@ def pdf_li(lights: LightTable, pick, isect_p, unit_wi):
     Intersects the area light's triangle with the (infinite-tmax) ray from
     ``isect_p`` along ``unit_wi``; returns 0 for point lights and misses.
     """
-    ltype, _, _, _, tp0, te1, te2, tn = gather_light(lights, pick)
-    hit, _, hu, hv = intersect_triangle(
-        isect_p, unit_wi, jnp.inf, tp0, te1, te2, tn)
-    lp = tp0 - hu[..., None] * te1 + hv[..., None] * te2
-    area = 0.5 * vec.length(tn)
-    pdf = vec.length_squared(lp - isect_p) / (
-        area * vec.abs_dot(vec.normalize(tn), unit_wi))
-    valid = (ltype == AREA_LIGHT) & hit
-    return jnp.where(valid, pdf, 0.0)
+    return pdf_li_v3(lights, pick, v3.from_array(isect_p),
+                     v3.from_array(unit_wi))

@@ -45,15 +45,19 @@ _COLORS = {
 
 
 def cornell_bunny(bunny_path: str | None = None, max_leaf_size: int | None = 8,
-                  bunny_material: str = "matte",
+                  bunny_material: str = "matte", floor: str = "matte",
                   builder: str = "auto") -> tuple[Scene, Camera]:
     """The reference demo scene + camera.
 
-    ``bunny_material``: "matte" (reference), "mirror", or "glass" — the
-    metal/dielectric variants are BASELINE.md eval config 3.
+    ``bunny_material``: "matte" (reference), "mirror", or "glass";
+    ``floor``: "matte" (reference) or "mirror".  BASELINE.md eval config 3
+    ("metal + dielectric glass bunny") is ``bunny_material="glass",
+    floor="mirror"`` — a dielectric bunny standing on a metal floor.
     """
     b = SceneBuilder()
     mats = {name: b.make_matte(c) for name, c in _COLORS.items()}
+    if floor == "mirror":
+        mirror_floor = b.make_mirror((0.9, 0.9, 0.9))
 
     # bunny mesh with the reference transform chain (main.cu:59-84)
     mesh = mesh_mod.load_ply(bunny_path or BUNNY_PLY)
@@ -68,8 +72,12 @@ def cornell_bunny(bunny_path: str | None = None, max_leaf_size: int | None = 8,
         bunny_mat = mats["brown"]
     b.add_mesh(mesh.vertices, mesh.faces, bunny_mat, transform=t)
 
-    for (p0, p1, p2), mat in _WALLS:
-        b.add_triangles(p0, p1, p2, mats[mat])
+    # walls 5-6 (indices 4,5) are the floor (main.cu:96-99)
+    for i, ((p0, p1, p2), mat) in enumerate(_WALLS):
+        if floor == "mirror" and i in (4, 5):
+            b.add_triangles(p0, p1, p2, mirror_floor)
+        else:
+            b.add_triangles(p0, p1, p2, mats[mat])
 
     # 2-triangle area light, L = (15, 15, 15) (main.cu:111-116)
     b.add_area_light((0.4, 0.999, -0.4), (0.6, 0.999, -0.4),
