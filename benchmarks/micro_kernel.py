@@ -238,6 +238,106 @@ def make_leaf_mt_mxu(n_iters, n_out=32, dtype=jnp.float32):
     return f, (at, fm)
 
 
+# ---------------------------------------------------- leaf MT (MXU, full)
+def make_leaf_mt_mxu_full(n_iters, precision=None):
+    """Full-fidelity MXU leaf visit: A [64, 16] x F [16, 2048] matmul with
+    det/t/u/v blocks (rows 0-31) AND pid/nx/ny/nz constant blocks (rows
+    32-63; M <= 128 so the extra rows ride the same MXU passes), winner
+    extraction per visit via sublane take_along_axis, and rolling best
+    state in [1, 2048] layout (t, u, v, pid, nx, ny, nz) — everything the
+    real closest-hit drain must produce.  Also rebuilds the walk's
+    [16, 128]-layout tmax once per visit (the relayout the real kernel
+    would do once per drain)."""
+    def kernel(at_ref, f_ref, out_ref):
+        F = f_ref[:]  # [16, 2048]
+        shape = (1, 2048)
+
+        def body(carry):
+            best_t, best_u, best_v, best_p, bnx, bny, bnz, walk_tmax, i = \
+                carry
+            A = at_ref[pl.ds((i % 512) * 64, 64), :]  # [64, 16]
+            out = jnp.dot(A, F, preferred_element_type=jnp.float32,
+                          precision=precision)
+            det = out[0:8]
+            tn = out[8:16]
+            un = out[16:24]
+            vn = out[24:32]
+            # sign-flip accept (no per-slot divide): q >= 0 <=> u >= 0 etc.
+            s = jnp.where(det < 0.0, -1.0, 1.0)
+            adet = det * s
+            at_ = tn * s
+            au = un * s
+            av = vn * s
+            h = (au >= 0.) & (av >= 0.) & (au + av <= adet) & (at_ > 0.) & \
+                (at_ <= jnp.broadcast_to(best_t, det.shape) * adet)
+            # per-visit winner slot: min scaled-t needs same scale; use
+            # t = at/adet only for accepted lanes (one [8,2048] divide)
+            t8 = jnp.where(h, at_ / adet, BIG)
+            visit_t = jnp.min(t8, axis=0, keepdims=True)       # [1, 2048]
+            slot = jnp.argmin(t8, axis=0)[None, :].astype(jnp.int32)
+            take = lambda blk: jnp.take_along_axis(blk, slot, axis=0)
+            improved = visit_t < best_t
+            best_t = jnp.where(improved, visit_t, best_t)
+            best_u = jnp.where(improved, take(un) / take(det), best_u)
+            best_v = jnp.where(improved, take(vn) / take(det), best_v)
+            best_p = jnp.where(improved, take(out[32:40]), best_p)
+            bnx = jnp.where(improved, take(out[40:48]), bnx)
+            bny = jnp.where(improved, take(out[48:56]), bny)
+            bnz = jnp.where(improved, take(out[56:64]), bnz)
+            walk_tmax = best_t.reshape(SUBLANES, 128)  # relayout per visit
+            return (best_t, best_u, best_v, best_p, bnx, bny, bnz,
+                    walk_tmax, i + 1)
+
+        init = (jnp.full(shape, BIG, jnp.float32),) * 3 + \
+               (jnp.full(shape, -1.0, jnp.float32),) + \
+               (jnp.zeros(shape, jnp.float32),) * 3 + \
+               (jnp.full((SUBLANES, 128), BIG, jnp.float32), jnp.int32(0))
+        out = jax.lax.while_loop(lambda c: c[-1] < n_iters, body, init)
+        out_ref[:] = out[0]
+
+    at = jnp.asarray(np.random.rand(512 * 64, 16), jnp.float32)
+    fm = jnp.asarray(np.random.rand(16, 2048), jnp.float32)
+    f = jax.jit(lambda at, fm: pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 2048), jnp.float32),
+    )(at, fm))
+    return f, (at, fm)
+
+
+def make_feature_build(n_iters):
+    """Per-tile feature-matrix build in-kernel: 10 relayouts of [16,128]
+    components to [1, 2048] rows + sublane concat to [16, 2048] (the once-
+    per-tile cost of the in-kernel F construction)."""
+    def kernel(o_ref, out_ref):
+        def body(carry):
+            acc, i = carry
+            comps = [o_ref[k] * (1.0 + acc) for k in range(6)]
+            dxo = [comps[1] * comps[5] - comps[2] * comps[4],
+                   comps[2] * comps[3] - comps[0] * comps[5],
+                   comps[0] * comps[4] - comps[1] * comps[3]]
+            ones = jnp.ones_like(comps[0])
+            rows = [c.reshape(1, 2048)
+                    for c in comps + dxo + [ones]] + \
+                   [jnp.zeros((1, 2048), jnp.float32)] * 6
+            F = jnp.concatenate(rows, axis=0)  # [16, 2048]
+            return jnp.sum(F) * 1e-9, i + 1
+
+        out = jax.lax.while_loop(lambda c: c[1] < n_iters, body,
+                                 (jnp.float32(0), jnp.int32(0)))
+        out_ref[0] = out[0]
+
+    o = jnp.asarray(np.random.rand(6, SUBLANES, 128), jnp.float32)
+    f = jax.jit(lambda o: pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.float32),
+    )(o))
+    return f, (o,)
+
+
 # --------------------------------------------------------------- relayout
 def make_relayout(n_iters):
     def kernel(x_ref, out_ref):
@@ -328,6 +428,12 @@ ALL = {
     "leaf_mt_mxu_f32": (partial(make_leaf_mt_mxu, dtype=jnp.float32), 20_000),
     "leaf_mt_mxu_bf16": (partial(make_leaf_mt_mxu, dtype=jnp.bfloat16),
                          20_000),
+    "leaf_mt_mxu_full": (make_leaf_mt_mxu_full, 20_000),
+    "leaf_mt_mxu_full_hi": (partial(make_leaf_mt_mxu_full,
+                                    precision="highest"), 20_000),
+    "leaf_mt_mxu_full_h3": (partial(make_leaf_mt_mxu_full,
+                                    precision="high"), 20_000),
+    "feature_build": (make_feature_build, 20_000),
     "relayout": (make_relayout, 20_000),
     "clz": (make_clz, 200_000),
 }
