@@ -275,7 +275,9 @@ def make_leaf_mt_mxu_full(n_iters, precision=None):
             t8 = jnp.where(h, at_ / adet, BIG)
             visit_t = jnp.min(t8, axis=0, keepdims=True)       # [1, 2048]
             slot = jnp.argmin(t8, axis=0)[None, :].astype(jnp.int32)
-            take = lambda blk: jnp.take_along_axis(blk, slot, axis=0)
+            # Mosaic gather wants indices shaped like the operand
+            take = lambda blk: jnp.take_along_axis(
+                blk, jnp.broadcast_to(slot, blk.shape), axis=0)[0:1]
             improved = visit_t < best_t
             best_t = jnp.where(improved, visit_t, best_t)
             best_u = jnp.where(improved, take(un) / take(det), best_u)
@@ -297,6 +299,151 @@ def make_leaf_mt_mxu_full(n_iters, precision=None):
 
     at = jnp.asarray(np.random.rand(512 * 64, 16), jnp.float32)
     fm = jnp.asarray(np.random.rand(16, 2048), jnp.float32)
+    f = jax.jit(lambda at, fm: pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 2048), jnp.float32),
+    )(at, fm))
+    return f, (at, fm)
+
+
+def make_leaf_mt_mxu_pair(n_iters, precision=None, packed=True):
+    """TWO-leaf MXU drain visit, the real-kernel design candidate: a
+    [112, 16] A-block (2 leaves x (det/t/u/v + nx/ny/nz rows for 8 slots))
+    against F [16, 2048], one M-tile.  ``packed=True`` stores the A-table
+    VMEM-efficiently as [L*14, 128] rows (16 a-rows of 16 lanes per row)
+    and pays an in-kernel reshape (14,128)->(112,16) per visit — the
+    layout question this bench answers (a [*, 16] VMEM array pads lanes
+    8x).  Winner extraction across 16 slots; per-visit ns = slope / 1
+    (each iter = one 2-leaf visit)."""
+    def kernel(at_ref, f_ref, out_ref):
+        F = f_ref[:]  # [16, 2048]
+        shape = (1, 2048)
+
+        def body(carry):
+            best_t, best_u, best_v, best_p, bnx, bny, bnz, i = carry
+            if packed:
+                blk = at_ref[pl.ds((i % 512) * 14, 14), :]   # [14, 128]
+                A = blk.reshape(112, 16)
+            else:
+                A = at_ref[pl.ds((i % 512) * 112, 112), :]   # [112, 16]
+            out = jnp.dot(A, F, preferred_element_type=jnp.float32,
+                          precision=precision)
+            det = out[0:16]
+            tn = out[16:32]
+            un = out[32:48]
+            vn = out[48:64]
+            s = jnp.where(det < 0.0, -1.0, 1.0)
+            adet = det * s
+            at_ = tn * s
+            au = un * s
+            av = vn * s
+            h = (au >= 0.) & (av >= 0.) & (au + av <= adet) & (at_ > 0.) & \
+                (at_ <= jnp.broadcast_to(best_t, det.shape) * adet)
+            t16 = jnp.where(h, at_ / adet, BIG)
+            visit_t = jnp.min(t16, axis=0, keepdims=True)       # [1, 2048]
+            slot = jnp.argmin(t16, axis=0)[None, :].astype(jnp.int32)
+            take = lambda blk_: jnp.take_along_axis(
+                blk_, jnp.broadcast_to(slot, blk_.shape), axis=0)[0:1]
+            improved = visit_t < best_t
+            wdet = take(det)
+            best_t = jnp.where(improved, visit_t, best_t)
+            best_u = jnp.where(improved, take(un) / wdet, best_u)
+            best_v = jnp.where(improved, take(vn) / wdet, best_v)
+            # pid = leaf_first (scalar) + slot: no pid rows needed
+            best_p = jnp.where(improved,
+                               (jnp.float32(i % 512) * 8.0
+                                + slot.astype(jnp.float32)), best_p)
+            bnx = jnp.where(improved, take(out[64:80]), bnx)
+            bny = jnp.where(improved, take(out[80:96]), bny)
+            bnz = jnp.where(improved, take(out[96:112]), bnz)
+            return (best_t, best_u, best_v, best_p, bnx, bny, bnz, i + 1)
+
+        init = (jnp.full(shape, BIG, jnp.float32),) * 3 + \
+               (jnp.full(shape, -1.0, jnp.float32),) + \
+               (jnp.zeros(shape, jnp.float32),) * 3 + (jnp.int32(0),)
+        out = jax.lax.while_loop(lambda c: c[-1] < n_iters, body, init)
+        out_ref[:] = out[0]
+
+    if packed:
+        at = jnp.asarray(np.random.rand(512 * 14, 128), jnp.float32)
+    else:
+        at = jnp.asarray(np.random.rand(512 * 112, 16), jnp.float32)
+    fm = jnp.asarray(np.random.rand(16, 2048), jnp.float32)
+    f = jax.jit(lambda at, fm: pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 2048), jnp.float32),
+    )(at, fm))
+    return f, (at, fm)
+
+
+def make_leaf_mt_mxu_group(n_iters, group=8, splitk=True):
+    """GROUP MXU drain: G leaves per matmul, the post-mortem design after
+    Mosaic killed the pair variants (no (14,128)->(112,16) reshape, no
+    dynamic_gather across >1 source vreg, no precision=HIGH, and
+    precision=highest costs 4x default).
+
+    Precision comes from a manual split-K instead of `precision=`: each f32
+    operand is split into 3 bf16 terms (a = a1+a2+a3 exactly to 24 mantissa
+    bits); the 6 significant term-pairs (a1b1, a1b2, a2b1, a2b2, a1b3,
+    a3b1) are laid side by side along K, so A is [4*8*G, 96] bf16 and F is
+    [96, 2048] bf16 — ONE default-precision MXU pass with exact bf16
+    products accumulated in f32, i.e. f32-faithful results at bf16-dot
+    cost.  Rows are field-major across the group (all dets, all ts, all
+    us, all vs) so extraction is static row slicing.
+
+    Extraction is (t, slot) ONLY — no gather: u/v/normals are recomputed
+    once per ray AFTER traversal from the winning pid (engine-side).  slot
+    is recovered by an equality match against the row-min, so no argmin
+    over >8 sublanes either.  Each iter = G leaf visits -> report ns/G.
+    """
+    G8 = group * 8
+    K = 96 if splitk else 16
+    NG = 128  # groups resident; cycle through them
+
+    def kernel(at_ref, f_ref, out_ref):
+        F = f_ref[:]  # [K, 2048]
+        shape = (1, 2048)
+
+        def body(carry):
+            best_t, best_p, i = carry
+            A = at_ref[pl.ds((i % NG) * 4 * G8, 4 * G8), :]  # [4*G8, K]
+            out = jnp.dot(A, F, preferred_element_type=jnp.float32)
+            det = out[0 * G8:1 * G8]
+            tn = out[1 * G8:2 * G8]
+            un = out[2 * G8:3 * G8]
+            vn = out[3 * G8:4 * G8]
+            s = jnp.where(det < 0.0, -1.0, 1.0)
+            adet = det * s
+            at_ = tn * s
+            au = un * s
+            av = vn * s
+            h = (au >= 0.) & (av >= 0.) & (au + av <= adet) & (at_ > 0.) & \
+                (at_ <= jnp.broadcast_to(best_t, det.shape) * adet)
+            t_rows = jnp.where(h, at_ / adet, BIG)            # [G8, 2048]
+            visit_t = jnp.min(t_rows, axis=0, keepdims=True)  # [1, 2048]
+            # slot via equality match (no argmin over 64 sublanes): the
+            # first row equal to the min wins
+            rows = jax.lax.broadcasted_iota(jnp.int32, t_rows.shape, 0)
+            slot = jnp.min(jnp.where(t_rows <= visit_t, rows, G8),
+                           axis=0, keepdims=True)             # [1, 2048]
+            improved = visit_t < best_t
+            best_t = jnp.where(improved, visit_t, best_t)
+            best_p = jnp.where(improved,
+                               (i % NG) * G8 + slot, best_p)
+            return best_t, best_p, i + 1
+
+        init = (jnp.full(shape, BIG, jnp.float32),
+                jnp.full(shape, -1, jnp.int32), jnp.int32(0))
+        out = jax.lax.while_loop(lambda c: c[-1] < n_iters, body, init)
+        out_ref[:] = out[0] + out[1].astype(jnp.float32) * 1e-9
+
+    dt = jnp.bfloat16 if splitk else jnp.float32
+    at = jnp.asarray(np.random.rand(NG * 4 * G8, K), dt)
+    fm = jnp.asarray(np.random.rand(K, 2048), dt)
     f = jax.jit(lambda at, fm: pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
@@ -431,8 +578,19 @@ ALL = {
     "leaf_mt_mxu_full": (make_leaf_mt_mxu_full, 20_000),
     "leaf_mt_mxu_full_hi": (partial(make_leaf_mt_mxu_full,
                                     precision="highest"), 20_000),
-    "leaf_mt_mxu_full_h3": (partial(make_leaf_mt_mxu_full,
-                                    precision="high"), 20_000),
+    # NOTE: precision="high" is not supported by Mosaic dot lowering
+    "leaf_mt_mxu_pair": (make_leaf_mt_mxu_pair, 20_000),
+    "leaf_mt_mxu_pair_hi": (partial(make_leaf_mt_mxu_pair,
+                                    precision="highest"), 20_000),
+    "leaf_mt_mxu_pair_unpacked": (partial(make_leaf_mt_mxu_pair,
+                                          packed=False), 20_000),
+    "leaf_mt_mxu_g8_splitk": (make_leaf_mt_mxu_group, 10_000),
+    "leaf_mt_mxu_g4_splitk": (partial(make_leaf_mt_mxu_group, group=4),
+                              10_000),
+    "leaf_mt_mxu_g2_splitk": (partial(make_leaf_mt_mxu_group, group=2),
+                              20_000),
+    "leaf_mt_mxu_g8_f32": (partial(make_leaf_mt_mxu_group, splitk=False),
+                           10_000),
     "feature_build": (make_feature_build, 20_000),
     "relayout": (make_relayout, 20_000),
     "clz": (make_clz, 200_000),

@@ -43,7 +43,7 @@ def main():
     ap.add_argument("--configs", default="1,2,3,4,5")
     ap.add_argument("--pool", type=int, default=None)
     ap.add_argument("--sort-key", default="morton",
-                    choices=["morton", "prim"],
+                    choices=["morton", "morton_pos", "prim", "prim_pos"],
                     help="bounce-ray sort key (coherence experiment)")
     args = ap.parse_args()
     which = set(int(x) for x in args.configs.split(","))

@@ -33,8 +33,9 @@ class RenderConfig:
     traversal: str = "auto"
     # sort rays by (octant, origin Morton) before packet traversal
     sort_rays: bool = True
-    # sort key: "morton" (origin cell; measured faster) or "prim" (origin
-    # triangle index)
+    # sort key: "morton" (octant-major origin cell), "morton_pos"
+    # (position-major origin cell), "prim" (octant-major origin triangle),
+    # or "prim_pos" (position-major origin triangle)
     sort_key: str = "morton"
     # upper bound on wavefront iterations (safety net for the while_loop);
     # None derives it from the workload.

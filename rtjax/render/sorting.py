@@ -68,6 +68,39 @@ def ray_sort_keys_prim_v3(prim, direction, active):
     return jnp.where(active, key, jnp.int32(0x7FFFFFFF))
 
 
+def ray_sort_keys_pos_v3(origin, direction, lo, hi, active):
+    """POSITION-major variant of :func:`ray_sort_keys_v3`:
+    27-bit origin Morton | 3-bit octant.
+
+    Bounce packets from one surface patch share the BVH path down to their
+    leaf regardless of direction; octant-major keys scatter them across 8
+    buckets.  Position-major keeps same-patch rays in one tile and uses the
+    octant only as a tie-break within a Morton cell (the per-packet descent
+    order then adapts via the packet-octant reversal bit)."""
+    cells = []
+    for k in range(3):
+        g = (origin[k] - lo[k]) / jnp.maximum(hi[k] - lo[k], 1e-30)
+        cells.append(jnp.clip(g * 511.0, 0.0, 511.0).astype(jnp.int32))
+    m = (_part1by2(cells[0]) | (_part1by2(cells[1]) << 1)
+         | (_part1by2(cells[2]) << 2))
+    octant = ((direction[0] < 0).astype(jnp.int32)
+              | ((direction[1] < 0).astype(jnp.int32) << 1)
+              | ((direction[2] < 0).astype(jnp.int32) << 2))
+    key = (m << 3) | octant
+    return jnp.where(active, key, jnp.int32(0x7FFFFFFF))
+
+
+def ray_sort_keys_prim_pos_v3(prim, direction, active):
+    """PRIM-major tree-locality keys: origin-prim index | 3-bit octant.
+    Leaf order == tree order, so consecutive prims share subtrees; the
+    octant tie-break only orders rays within one triangle's patch."""
+    octant = ((direction[0] < 0).astype(jnp.int32)
+              | ((direction[1] < 0).astype(jnp.int32) << 1)
+              | ((direction[2] < 0).astype(jnp.int32) << 2))
+    key = (jnp.clip(prim, 0, (1 << 24) - 1) << 3) | octant
+    return jnp.where(active, key, jnp.int32(0x7FFFFFFF))
+
+
 def ray_sort_keys_prim(prim, direction, active):
     """Tree-locality sort keys: 3-bit octant | origin primitive index.
 

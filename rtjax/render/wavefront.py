@@ -69,8 +69,9 @@ from ..scene.camera import Camera
 from ..scene.light import gather_light_v3, is_delta, pdf_li_v3, sample_li_v3
 from ..scene.material import get_f_v3, is_specular, sample_f_v3
 from ..scene.scene import Scene
-from .sorting import ray_sort_keys_v3, ray_sort_keys_prim_v3, \
-    sort_pytree_by_key
+from .sorting import (ray_sort_keys_pos_v3, ray_sort_keys_prim_pos_v3,
+                      ray_sort_keys_prim_v3, ray_sort_keys_v3,
+                      sort_pytree_by_key)
 
 # RNG draw-site ids (one threefry sweep per site per iteration)
 _S_RR = 0
@@ -218,12 +219,16 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         if cfg.sort_key == "prim":
             keys = ray_sort_keys_prim_v3(
                 jnp.where(mat_mask, state.prim, -1), state.ray_d, mat_mask)
+        elif cfg.sort_key == "prim_pos":
+            keys = ray_sort_keys_prim_pos_v3(
+                jnp.where(mat_mask, state.prim, -1), state.ray_d, mat_mask)
         else:
             root_lo, root_hi = scene.bvh.bmin[0], scene.bvh.bmax[0]
             hp_t = jnp.where(mat_mask, state.t, 0.0)
             hp = v3.add(state.ray_o, v3.scale(hp_t, state.ray_d))
-            keys = ray_sort_keys_v3(hp, state.ray_d, root_lo, root_hi,
-                                    mat_mask)
+            kf = (ray_sort_keys_pos_v3 if cfg.sort_key == "morton_pos"
+                  else ray_sort_keys_v3)
+            keys = kf(hp, state.ray_d, root_lo, root_hi, mat_mask)
         bundle = (state.pixel, state.ray_o, state.ray_d, state.t,
                   state.normal, state.prim, state.src, bounces, beta, acc,
                   mat_mask) + ((limbo,) if cfg.reference_parity else ())
