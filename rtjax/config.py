@@ -35,8 +35,11 @@ class RenderConfig:
     sort_rays: bool = True
     # sort key: "morton" (octant-major origin cell), "morton_pos"
     # (position-major origin cell), "prim" (octant-major origin triangle),
-    # or "prim_pos" (position-major origin triangle)
-    sort_key: str = "morton"
+    # or "prim_pos" (position-major origin triangle).  morton_pos measured
+    # fastest on bounce-heavy scenes (config 1: 9.76 vs 8.66 Mrays/s):
+    # bounce packets from one surface patch share BVH paths regardless of
+    # direction, so position-major packs them into one tile.
+    sort_key: str = "morton_pos"
     # upper bound on wavefront iterations (safety net for the while_loop);
     # None derives it from the workload.
     max_iterations: int | None = None

@@ -348,15 +348,15 @@ def _pick(mask, rev):
 
 def _mt8(row_b, o, d, tmax):
     """All 8 leaf-row MT tests vs the SAME tmax (no slot serialization);
-    returns the closest accepted hit per lane as (t, u, v, pid_f32,
-    nx, ny, nz), with (BIG, 0, 0, -1, 0, 0, 0) when none.  The unnormalized
-    geometric normal rides along so the engine needs no triangle gather
-    after traversal.  Exact reference accept rule (triangle.cuh:39-58);
-    padded slots have n = 0 => t = NaN => rejected."""
+    returns the closest accepted hit per lane as (t, pid_f32, nx, ny, nz),
+    with (BIG, -1, 0, 0, 0) when none.  The unnormalized geometric normal
+    rides along so the engine needs no triangle gather after traversal;
+    u/v are computed only for the accept rule — the engine never consumes
+    them (hit position is o + t*d), so they are not tracked.  Exact
+    reference accept rule (triangle.cuh:39-58); padded slots have
+    n = 0 => t = NaN => rejected."""
     shape = tmax.shape
     best_t = jnp.full(shape, BIG, jnp.float32)
-    best_u = jnp.zeros(shape, jnp.float32)
-    best_v = jnp.zeros(shape, jnp.float32)
     best_p = jnp.full(shape, -1.0, jnp.float32)
     best_nx = jnp.zeros(shape, jnp.float32)
     best_ny = jnp.zeros(shape, jnp.float32)
@@ -377,13 +377,11 @@ def _mt8(row_b, o, d, tmax):
         h = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0) & (t <= tmax)
         closer = h & (t < best_t)
         best_t = jnp.where(closer, t, best_t)
-        best_u = jnp.where(closer, u, best_u)
-        best_v = jnp.where(closer, v, best_v)
         best_p = jnp.where(closer, pid, best_p)
         best_nx = jnp.where(closer, nx, best_nx)
         best_ny = jnp.where(closer, ny, best_ny)
         best_nz = jnp.where(closer, nz, best_nz)
-    return best_t, best_u, best_v, best_p, best_nx, best_ny, best_nz
+    return best_t, best_p, best_nx, best_ny, best_nz
 
 
 def _mt8_any(row_b, o, d, tmax, exclude):
@@ -647,21 +645,19 @@ def _closest_drain(o, d, inst_id=None):
 
     def drain(meta, row_b, tmax, ds):
         if inst_id is None:
-            t, u, v, prim, n3 = ds
+            t, prim, n3 = ds
         else:
-            t, u, v, prim, inst, n3 = ds
-        bt, bu, bv, bp, bnx, bny, bnz = _mt8(row_b, o, d, tmax)
+            t, prim, inst, n3 = ds
+        bt, bp, bnx, bny, bnz = _mt8(row_b, o, d, tmax)
         ok = (bp >= 0) & ((meta & 15) > 0)
         tmax = jnp.where(ok, bt, tmax)
         t = jnp.where(ok, bt, t)
-        u = jnp.where(ok, bu, u)
-        v = jnp.where(ok, bv, v)
         prim = jnp.where(ok, bp.astype(jnp.int32), prim)
         n3 = tuple(jnp.where(ok, bn, n) for bn, n in zip((bnx, bny, bnz), n3))
         if inst_id is None:
-            return tmax, (t, u, v, prim, n3)
+            return tmax, (t, prim, n3)
         inst = jnp.where(ok, inst_id, inst)
-        return tmax, (t, u, v, prim, inst, n3)
+        return tmax, (t, prim, inst, n3)
 
     return drain
 
@@ -699,7 +695,7 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False):
         (o_ref, d_ref, t_ref, act_ref, ni_ref, cm_ref, nb_ref, lt_ref,
          *rest) = args
         cm_at, info_read = _smem_meta(cm_ref, ni_ref)
-    (hit_ref, tout_ref, u_ref, v_ref, prim_ref, nx_ref, ny_ref, nz_ref,
+    (hit_ref, tout_ref, prim_ref, nx_ref, ny_ref, nz_ref,
      st_ref, stack_ref, q_ref, *dma) = rest
     n_tiles = hit_ref.shape[0]
 
@@ -722,18 +718,15 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False):
       else:
           dloop = _simple_drain_loop(q_ref, lt_ref, drain_fn)
       ds0 = (jnp.full(tmax.shape, BIG, jnp.float32),
-             jnp.zeros_like(tmax), jnp.zeros_like(tmax),
              jnp.full(tmax.shape, -1, jnp.int32),
              (jnp.zeros_like(tmax),) * 3)
       rounds, leafs, _, ds = _run_walk(
           refs, inv, sc, octant, jnp.where(any_valid, 0, IDLE), tmax, ds0,
           dloop, _never, jnp.int32(0), jnp.int32(0))
-      t, u, v, prim, n3 = ds
+      t, prim, n3 = ds
       hit = (prim >= 0) & valid
       hit_ref[ti] = hit.astype(jnp.int32)
       tout_ref[ti] = t
-      u_ref[ti] = u
-      v_ref[ti] = v
       prim_ref[ti] = jnp.where(hit, prim, -1)
       nx_ref[ti] = n3[0]
       ny_ref[ti] = n3[1]
@@ -965,7 +958,7 @@ def _make_closest_inst_kernel(meta_vmem: bool = False):
         (o_ref, d_ref, t_ref, act_ref, root_ref, ai_ref, ni_ref, cm_ref,
          nb_ref, lt_ref, *rest) = args
         cm_at, info_read = _smem_meta(cm_ref, ni_ref)
-    (hit_ref, tout_ref, u_ref, v_ref, prim_ref, inst_ref,
+    (hit_ref, tout_ref, prim_ref, inst_ref,
      nx_ref, ny_ref, nz_ref, st_ref, stack_ref, q_ref) = rest
     n_tiles = hit_ref.shape[0]
     num_inst = root_ref.shape[0]
@@ -981,8 +974,8 @@ def _make_closest_inst_kernel(meta_vmem: bool = False):
       inv_w, sc_w, _ = _world_slab_pre(o_w, d_w)
 
       shape = tmax.shape
-      ds0 = (jnp.full(shape, BIG, jnp.float32), jnp.zeros(shape, jnp.float32),
-             jnp.zeros(shape, jnp.float32), jnp.full(shape, -1, jnp.int32),
+      ds0 = (jnp.full(shape, BIG, jnp.float32),
+             jnp.full(shape, -1, jnp.int32),
              jnp.zeros(shape, jnp.int32),
              (jnp.zeros(shape, jnp.float32),) * 3)
 
@@ -1001,12 +994,10 @@ def _make_closest_inst_kernel(meta_vmem: bool = False):
       out = jax.lax.fori_loop(0, num_inst, inst_body,
                               (jnp.int32(0), jnp.int32(0), tmax, ds0))
       rounds, leafs, _, ds = out
-      t, u, v, prim, inst, n3 = ds
+      t, prim, inst, n3 = ds
       hit = (prim >= 0) & valid
       hit_ref[ti] = hit.astype(jnp.int32)
       tout_ref[ti] = t
-      u_ref[ti] = u
-      v_ref[ti] = v
       prim_ref[ti] = jnp.where(hit, prim, -1)
       inst_ref[ti] = jnp.where(hit, inst, 0)
       nx_ref[ti] = n3[0]
@@ -1143,10 +1134,13 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
                           meta_vmem: bool = False):
     """Wide-BVH packet closest-hit traversal.
 
-    Same contract as traversal.traverse_closest: returns
-    ``(hit, t, u, v, prim, normal)`` over ``[N]`` rays, where ``normal``
+    Returns ``(hit, t, prim, normal)`` over ``[N]`` rays, where ``normal``
     ``[N, 3]`` is the hit triangle's unnormalized geometric normal
-    (cross(e1, e2), triangle.cuh:19) — zero on miss.  With
+    (cross(e1, e2), triangle.cuh:19) — zero on miss.  The reference's
+    intersection record also carries (u, v) (triangle.cuh:29-37); the
+    engine computes hit positions as o + t*d and never reads them, so the
+    kernel does not extract them (fewer live payloads across the walk
+    loop; the XLA fallback still returns them).  With
     ``with_stats=True`` a trailing ``(walk_rounds, leaf_visits)`` int32
     scalar pair is appended (summed over tiles; a walk round = NUM_WALKS
     wide-node steps, idle walks included).  ``leaf_hbm`` keeps the leaf
@@ -1171,13 +1165,11 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
                     _HBM if leaf_hbm else _VMEM]
         ins = (o, d, tm, act, tables.node_info, tables.child_meta,
                tables.node_bounds, tables.leaf_tris)
-    hit, t, u, v, prim, nx, ny, nz, st = pl.pallas_call(
+    hit, t, prim, nx, ny, nz, st = pl.pallas_call(
         _make_closest_kernel(leaf_hbm, meta_vmem),
         in_specs=in_specs,
-        out_specs=[_VMEM] * 8 + [_SMEM],
+        out_specs=[_VMEM] * 6 + [_SMEM],
         out_shape=[jax.ShapeDtypeStruct(shp, jnp.int32),
-                   jax.ShapeDtypeStruct(shp, jnp.float32),
-                   jax.ShapeDtypeStruct(shp, jnp.float32),
                    jax.ShapeDtypeStruct(shp, jnp.float32),
                    jax.ShapeDtypeStruct(shp, jnp.int32),
                    jax.ShapeDtypeStruct(shp, jnp.float32),
@@ -1194,7 +1186,7 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
     normal = (flat(nx), flat(ny), flat(nz))
     if not as_v3:
         normal = jnp.stack(normal, axis=-1)
-    out = (flat(hit) != 0, flat(t), flat(u), flat(v), flat(prim), normal)
+    out = (flat(hit) != 0, flat(t), flat(prim), normal)
     if with_stats:
         out = out + ((jnp.sum(st[:, 0]), jnp.sum(st[:, 1])),)
     return out
@@ -1253,7 +1245,7 @@ def wide_traverse_closest_inst(tabs: InstancedTables, origin, direction,
                                meta_vmem: bool = False):
     """Two-level closest-hit over base scene + all instances in ONE launch.
 
-    Returns ``(hit, t, u, v, prim, inst, normal_local)``: ``inst`` is 0 for
+    Returns ``(hit, t, prim, inst, normal_local)``: ``inst`` is 0 for
     base-scene hits and k for instance k (1-based, matching the engine's
     ``src``); ``prim`` is the triangle index within that instance's mesh;
     ``normal_local`` is the hit triangle's unnormalized geometric normal in
@@ -1287,10 +1279,8 @@ def wide_traverse_closest_inst(tabs: InstancedTables, origin, direction,
     outs = pl.pallas_call(
         _make_closest_inst_kernel(meta_vmem),
         in_specs=in_specs,
-        out_specs=[_VMEM] * 9 + [_SMEM],
+        out_specs=[_VMEM] * 7 + [_SMEM],
         out_shape=[jax.ShapeDtypeStruct(shp, jnp.int32),
-                   jax.ShapeDtypeStruct(shp, f32),
-                   jax.ShapeDtypeStruct(shp, f32),
                    jax.ShapeDtypeStruct(shp, f32),
                    jax.ShapeDtypeStruct(shp, jnp.int32),
                    jax.ShapeDtypeStruct(shp, jnp.int32),
@@ -1303,14 +1293,13 @@ def wide_traverse_closest_inst(tabs: InstancedTables, origin, direction,
             vmem_limit_bytes=_vmem_limit(tabs.wide, n_pad)),
         interpret=interpret,
     )(*ins)
-    hit, t, u, v, prim, inst, nx, ny, nz, st = outs
+    hit, t, prim, inst, nx, ny, nz, st = outs
 
     flat = lambda a: a.reshape(n_pad)[:n]
     normal = (flat(nx), flat(ny), flat(nz))
     if not as_v3:
         normal = jnp.stack(normal, axis=-1)
-    out = (flat(hit) != 0, flat(t), flat(u), flat(v), flat(prim),
-           flat(inst), normal)
+    out = (flat(hit) != 0, flat(t), flat(prim), flat(inst), normal)
     if with_stats:
         out = out + ((jnp.sum(st[:, 0]), jnp.sum(st[:, 1])),)
     return out

@@ -77,10 +77,12 @@ def _backend(mode, interp, tables, bvh, tris, stack_size, with_stats=False,
     stack_size = max(stack_size, bvh.max_depth + 1)
 
     def closest(o, d, tmax, active, **kw):
+        # XLA fallback computes (u, v) too; drop them to match the wide
+        # kernel's (hit, t, prim, normal) contract
         out = traverse_closest(bvh, tris, v3.to_array(o), v3.to_array(d),
                                tmax, active, stack_size=stack_size,
                                with_stats=with_stats)
-        return out[:5] + (v3.from_array(out[5]),) + out[6:]
+        return out[:2] + (out[4], v3.from_array(out[5])) + out[6:]
 
     def anyhit(o, d, tmax, exclude, active, **kw):
         return traverse_anyhit(bvh, tris, v3.to_array(o), v3.to_array(d),
@@ -130,7 +132,7 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
 
     ``o``/``d`` may be ``[N, 3]`` arrays or component triples (core.v3);
     the returned ``normal`` matches the input convention.  Returns
-    ``(hit, t, u, v, prim, src, normal)``; ``normal`` is the world-space
+    ``(hit, t, prim, src, normal)``; ``normal`` is the world-space
     unnormalized geometric normal of the hit triangle (the reference's
     cross(e1, e2), triangle.cuh:19), straight from the traversal kernel —
     no post-hoc triangle gather.  With ``with_stats=True`` a trailing
@@ -143,10 +145,10 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
         d = v3.from_array(d)
     inst = getattr(scene, "instances", None)
 
-    def _ret(hit, t, u, v, prim, src, n_w, st=None):
+    def _ret(hit, t, prim, src, n_w, st=None):
         if not as_v3:
             n_w = v3.to_array(n_w)
-        out = (hit, t, u, v, prim, src, n_w)
+        out = (hit, t, prim, src, n_w)
         return out + ((st,) if with_stats else ())
 
     # single-launch two-level fast path: the kernel walks base + all
@@ -162,21 +164,21 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
             scene.inst_tables, o, d, tmax, active, interpret=interp,
             with_stats=with_stats,
             meta_vmem=_inst_meta_vmem(scene.inst_tables))
-        hit, t, u, v, prim, src, n_l = out[:7]
+        hit, t, prim, src, n_l = out[:5]
         t = jnp.where(hit, t, tmax)
         # local->world normal: instance k's cofactor transform (base hits
         # are already world — identity); K masked matvecs fuse on the VPU
         n_w = n_l
         for k in range(inst.num):
             n_w = v3.where(src == k + 1, _matvec_v3(inst.nrm[k], n_l), n_w)
-        return _ret(hit, t, u, v, prim, src, n_w,
-                    out[7] if with_stats else None)
+        return _ret(hit, t, prim, src, n_w,
+                    out[5] if with_stats else None)
 
     closest, _ = _backend(mode, interp, scene.tables, scene.bvh, scene.tris,
                           cfg.stack_size, with_stats,
                           getattr(scene, "leaf_hbm", False),
                           getattr(scene, "meta_vmem", False))
-    hit, t, u, v, prim, n_w, *st = closest(o, d, tmax, active)
+    hit, t, prim, n_w, *st = closest(o, d, tmax, active)
     t = jnp.where(hit, t, tmax)
     src = jnp.zeros_like(prim)
     steps, leafs = st[0] if with_stats else (0, 0)
@@ -196,20 +198,18 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
             o_l = _affine_point_v3(inst.inv[k], o)
             d_l = _affine_vector_v3(inst.inv[k], d)  # NOT normalized:
             # preserves the ray parameter, so t compares in world units
-            h2, t2, u2, v2, p2, n2, *st2 = c_k(o_l, d_l, t, m)
+            h2, t2, p2, n2, *st2 = c_k(o_l, d_l, t, m)
             if with_stats:
                 steps, leafs = steps + st2[0][0], leafs + st2[0][1]
             closer = h2 & (t2 < t)
             # cofactor transform = world cross of transformed edges
             n2_w = _matvec_v3(inst.nrm[k], n2)
             t = jnp.where(closer, t2, t)
-            u = jnp.where(closer, u2, u)
-            v = jnp.where(closer, v2, v)
             prim = jnp.where(closer, p2, prim)
             src = jnp.where(closer, k + 1, src)
             n_w = v3.where(closer, n2_w, n_w)
             hit = hit | closer
-    return _ret(hit, t, u, v, prim, src, n_w,
+    return _ret(hit, t, prim, src, n_w,
                 (steps, leafs) if with_stats else None)
 
 

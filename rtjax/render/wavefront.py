@@ -377,8 +377,8 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     # ---- traversal (render.cuh:278-328) ------------------------------------
     trace_mask = mat_mask | got_ray
     inf = jnp.full(n, jnp.inf, jnp.float32)
-    hit, ht, _, _, hprim, hsrc, hnrm, *tst = t_closest(ray_o, ray_d, inf,
-                                                       trace_mask)
+    hit, ht, hprim, hsrc, hnrm, *tst = t_closest(ray_o, ray_d, inf,
+                                                 trace_mask)
     node_steps = leaf_visits = 0
     if cfg.detailed_stats:
         node_steps, leaf_visits = tst[0]

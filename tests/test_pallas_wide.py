@@ -85,8 +85,8 @@ def test_wide_closest_matches_xla(packed_scene):
     tmax = jnp.full(n, jnp.inf)
     active = jnp.asarray(np.random.default_rng(5).random(n) > 0.1)
 
-    hp, tp, up, vp, pp, np_ = wide_traverse_closest(tables, o, d, tmax,
-                                                    active, interpret=True)
+    hp, tp, pp, np_ = wide_traverse_closest(tables, o, d, tmax,
+                                            active, interpret=True)
     hx, tx, ux, vx, px, nx_ = traverse_closest(bvh, ptris, o, d, tmax, active)
     np.testing.assert_array_equal(np.asarray(hp), np.asarray(hx))
     m = np.asarray(hp)
@@ -95,10 +95,6 @@ def test_wide_closest_matches_xla(packed_scene):
     np.testing.assert_allclose(np.asarray(tp)[m], np.asarray(tx)[m],
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(pp)[m], np.asarray(px)[m])
-    np.testing.assert_allclose(np.asarray(up)[m], np.asarray(ux)[m],
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(vp)[m], np.asarray(vx)[m],
-                               atol=1e-5)
     # the kernel-returned geometric normal must equal the hit triangle's
     # stored cross(e1, e2) exactly (it is a copy, not a recomputation)
     np.testing.assert_array_equal(np.asarray(np_)[m], np.asarray(nx_)[m])
@@ -127,8 +123,8 @@ def test_wide_leaf_root():
     o, d = _rays(n, seed=9)
     tmax = jnp.full(n, jnp.inf)
     active = jnp.ones(n, bool)
-    hp, tp, _, _, pp, _ = wide_traverse_closest(tables, o, d, tmax, active,
-                                                interpret=True)
+    hp, tp, pp, _ = wide_traverse_closest(tables, o, d, tmax, active,
+                                          interpret=True)
     hx, tx, _, _, px, _ = traverse_closest(res.to_device(), ptris, o, d,
                                            tmax, active)
     np.testing.assert_array_equal(np.asarray(hp), np.asarray(hx))

@@ -37,7 +37,7 @@ def test_trace_closest_hits_instance_in_world_space():
     # world z in [0,-1], x = 2, y in [0.5, 1.5]
     o = jnp.asarray([[4.0, 1.0, -0.5]], jnp.float32)
     d = jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32)
-    hit, tt, u, v, prim, src, nrm = trace_closest(
+    hit, tt, prim, src, nrm = trace_closest(
         scene, cfg, mode, interp, o, d, jnp.full(1, jnp.inf),
         jnp.ones(1, bool))
     assert bool(hit[0])
@@ -76,7 +76,7 @@ def test_trace_closest_world_normal_and_materials():
     mode, interp = resolve_mode(scene, cfg)
     o = jnp.asarray([[4.0, 1.0, -0.5]], jnp.float32)
     d = jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32)
-    hit, tt, u, v, prim, src, nrm = trace_closest(
+    hit, tt, prim, src, nrm = trace_closest(
         scene, cfg, mode, interp, o, d, jnp.full(1, jnp.inf),
         jnp.ones(1, bool))
     assert bool(hit[0])
@@ -93,7 +93,7 @@ def test_trace_closest_world_normal_and_materials():
     # base material
     o2 = jnp.asarray([[0.0, 3.0, 0.0]], jnp.float32)
     d2 = jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32)
-    hit2, tt2, _, _, prim2, src2, nrm2 = trace_closest(
+    hit2, tt2, prim2, src2, nrm2 = trace_closest(
         scene, cfg, mode, interp, o2, d2, jnp.full(1, jnp.inf),
         jnp.ones(1, bool))
     assert bool(hit2[0]) and int(src2[0]) == 0
@@ -126,7 +126,7 @@ def test_instance_normal_nonuniform_scale():
     mode, interp = resolve_mode(scene, cfg)
     o = jnp.asarray([[0.5, 0.2, 5.0]], jnp.float32)
     d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
-    hit, tt, _, _, prim, src, nrm = trace_closest(
+    hit, tt, prim, src, nrm = trace_closest(
         scene, cfg, mode, interp, o, d, jnp.full(1, jnp.inf),
         jnp.ones(1, bool))
     assert bool(hit[0]) and int(src[0]) == 1
@@ -182,9 +182,9 @@ def test_instanced_pallas_matches_xla_random_rays():
     np.testing.assert_array_equal(m, np.asarray(hp[0]))
     np.testing.assert_allclose(np.asarray(hx[1])[m], np.asarray(hp[1])[m],
                                rtol=1e-5, atol=1e-6)
-    np.testing.assert_array_equal(np.asarray(hx[4])[m], np.asarray(hp[4])[m])
-    np.testing.assert_array_equal(np.asarray(hx[5])[m], np.asarray(hp[5])[m])
-    np.testing.assert_allclose(np.asarray(hx[6])[m], np.asarray(hp[6])[m],
+    np.testing.assert_array_equal(np.asarray(hx[2])[m], np.asarray(hp[2])[m])
+    np.testing.assert_array_equal(np.asarray(hx[3])[m], np.asarray(hp[3])[m])
+    np.testing.assert_allclose(np.asarray(hx[4])[m], np.asarray(hp[4])[m],
                                rtol=1e-4, atol=1e-6)
 
     ex = jnp.full(n, -1, jnp.int32)
