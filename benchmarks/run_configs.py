@@ -42,11 +42,13 @@ def main():
                     help="reduced resolutions/spp for smoke runs")
     ap.add_argument("--configs", default="1,2,3,4,5")
     ap.add_argument("--pool", type=int, default=None)
-    ap.add_argument("--sort-key", default="morton",
+    ap.add_argument("--sort-key", default=None,
                     choices=["morton", "morton_pos", "prim", "prim_pos"],
+                    # None -> RenderConfig default (morton_pos)
                     help="bounce-ray sort key (coherence experiment)")
     args = ap.parse_args()
     which = set(int(x) for x in args.configs.split(","))
+    sk = {} if args.sort_key is None else {"sort_key": args.sort_key}
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -67,14 +69,14 @@ def main():
         # config 1: bunny matte, 256^2 @ 16 spp
         scene, cam = cornell_bunny()
         cfg = RenderConfig(width=256, height=256, num_samples=4 if q else 16,
-                           max_bounces=10, num_working_paths=args.pool, sort_key=args.sort_key)
+                           max_bounces=10, num_working_paths=args.pool, **sk)
         results.append(run_config("config1_bunny_matte", scene, cam, cfg, key))
 
     if 2 in which:
         # config 2: Cornell planes + area light NEE, 512^2 @ 64 spp
         scene, cam = cornell_planes()
         cfg = RenderConfig(width=512, height=512, num_samples=8 if q else 64,
-                           max_bounces=10, num_working_paths=args.pool, sort_key=args.sort_key)
+                           max_bounces=10, num_working_paths=args.pool, **sk)
         results.append(run_config("config2_cornell_nee", scene, cam, cfg, key))
 
     if 3 in which:
@@ -82,7 +84,7 @@ def main():
         # glass bunny standing on a mirror floor, 8-bounce RR
         scene, cam = cornell_bunny(bunny_material="glass", floor="mirror")
         cfg = RenderConfig(width=256, height=256, num_samples=4 if q else 16,
-                           max_bounces=8, num_working_paths=args.pool, sort_key=args.sort_key)
+                           max_bounces=8, num_working_paths=args.pool, **sk)
         results.append(run_config("config3_metal_glass_bunny", scene, cam,
                                   cfg, key))
 
@@ -110,7 +112,7 @@ def main():
         scene = b.build()
         cam = Camera.make((0, 4.5, 7.5), (0, 0.6, 0), (0, 1, 0), 40, 1.0)
         cfg = RenderConfig(width=256, height=256, num_samples=2 if q else 8,
-                           max_bounces=5, num_working_paths=args.pool, sort_key=args.sort_key)
+                           max_bounces=5, num_working_paths=args.pool, **sk)
         eff = n_inst * len(mesh.faces)
         res = run_config(f"config4_instanced_{eff//1000}k_tris", scene, cam,
                          cfg, key)
@@ -125,14 +127,14 @@ def main():
         scene, cam = cornell_bunny()
         if q:
             cfg = RenderConfig(width=1920, height=1080, num_samples=1,
-                               max_bounces=10, num_working_paths=args.pool, sort_key=args.sort_key)
+                               max_bounces=10, num_working_paths=args.pool, **sk)
             results.append(run_config("config5_1080p_quick", scene, cam, cfg,
                                       key))
         else:
             from rtjax.render.checkpoint import render_checkpointed
             spp = 1024
             cfg = RenderConfig(width=1920, height=1080, num_samples=spp,
-                               max_bounces=10, num_working_paths=args.pool, sort_key=args.sort_key)
+                               max_bounces=10, num_working_paths=args.pool, **sk)
             ckpt = "/tmp/rtjax_config5.npz"
             if os.path.exists(ckpt):
                 os.remove(ckpt)
@@ -140,7 +142,7 @@ def main():
             # rays exactly would need stats plumbing through checkpoint
             probe_cfg = RenderConfig(width=1920, height=1080, num_samples=4,
                                      max_bounces=10,
-                                     num_working_paths=args.pool, sort_key=args.sort_key)
+                                     num_working_paths=args.pool, **sk)
             r = run_config("config5_probe_4spp", scene, cam, probe_cfg, key)
             rays_per_spp = r["rays"] / 4
             t0 = time.time()

@@ -43,6 +43,13 @@ class RenderConfig:
     # upper bound on wavefront iterations (safety net for the while_loop);
     # None derives it from the workload.
     max_iterations: int | None = None
+    # prefix-windowed shading: the per-iteration sort packs continuing
+    # (shading) lanes into a contiguous prefix, so the mat stage runs as a
+    # fori_loop over pool/shade_chunks-wide chunks with a TRACED trip count
+    # ceil(num_mat/chunk) — end-of-frame and bounce-tail iterations skip the
+    # dead suffix entirely (in-window lanes compute bitwise-identically).
+    # 1 disables; requires sort_rays and the pallas path.
+    shade_chunks: int = 8
     # collect extended observability counters (SURVEY.md §5): per-depth
     # bounce histogram plus traversal node-step / leaf-visit counters from
     # the kernels.  Off by default — the histogram scatter and counter

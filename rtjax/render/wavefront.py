@@ -243,28 +243,33 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     gen_mask = ~mat_mask & ~limbo if cfg.reference_parity else ~mat_mask
 
     # ---- mat: shading (render.cuh:139-248) --------------------------------
-    mtype, albedo, ior = gather_hit_materials_v3(scene, src, prim)
-    multiplier = v3.scale(jnp.float32(num_lights), beta)
-    # hit point from the ray equation (the reference reconstructs it
-    # barycentrically, triangle.cuh:15; Wächter–Binder offsetting in
-    # spawn_offset_ray absorbs the equivalent rounding either way)
-    p = v3.add(ray_o_p, v3.scale(jnp.where(mat_mask, t_p, 0.0), ray_d_p))
-    n_g = v3.neg(v3.normalize(normal))  # geometric normal (render.cuh:153)
-    wo = ray_d_p
+    def _shade(src, prim, beta, ray_o_p, ray_d_p, t_p, normal, mat_mask,
+               u_bsdf1, u_pick, u_luv, u_bsdf2):
+        """The whole mat stage over any slice of sorted state; returns a
+        dict pytree so the chunked dispatcher below can window it to the
+        live prefix."""
+        mtype, albedo, ior = gather_hit_materials_v3(scene, src, prim)
+        multiplier = v3.scale(jnp.float32(num_lights), beta)
+        # hit point from the ray equation (the reference reconstructs it
+        # barycentrically, triangle.cuh:15; Wächter–Binder offsetting in
+        # spawn_offset_ray absorbs the equivalent rounding either way)
+        p = v3.add(ray_o_p, v3.scale(jnp.where(mat_mask, t_p, 0.0), ray_d_p))
+        n_g = v3.neg(v3.normalize(normal))  # geometric normal (render.cuh:153)
+        wo = ray_d_p
 
-    # (1) BSDF-sample the next path ray (render.cuh:158-171)
-    f1, wi1, pdf1, n1 = sample_f_v3(mtype, albedo, ior, wo, n_g,
-                                    draw(_S_BSDF1), draw(_S_BSDF1 + 1),
-                                    draw(_S_BSDF1 + 2))
-    next_o, next_d, _ = spawn_offset_ray_v3(p, n1, wi1)
-    next_beta = v3.mul(beta, v3.scale(v3.dot(wi1, n1) / pdf1, f1))
-    # degenerate sample (pdf ~ 0) -> zero throughput; RR then kills the path
-    nb_ok = v3.isfinite(next_beta)
-    next_beta = tuple(jnp.where(nb_ok, c, 0.0) for c in next_beta)
+        # (1) BSDF-sample the next path ray (render.cuh:158-171)
+        f1, wi1, pdf1, n1 = sample_f_v3(mtype, albedo, ior, wo, n_g, *u_bsdf1)
+        next_o, next_d, _ = spawn_offset_ray_v3(p, n1, wi1)
+        next_beta = v3.mul(beta, v3.scale(v3.dot(wi1, n1) / pdf1, f1))
+        # degenerate sample (pdf ~ 0) -> zero throughput; RR kills the path
+        nb_ok = v3.isfinite(next_beta)
+        next_beta = tuple(jnp.where(nb_ok, c, 0.0) for c in next_beta)
+        out = dict(next_o=next_o, next_d=next_d, next_beta=next_beta)
+        if num_lights == 0:
+            return out
 
-    if num_lights > 0:
         # uniform light pick (render.cuh:178-180)
-        pick = jnp.minimum((draw(_S_LIGHT_PICK) * num_lights).astype(jnp.int32),
+        pick = jnp.minimum((u_pick * num_lights).astype(jnp.int32),
                            num_lights - 1)
         lrec = gather_light_v3(scene.lights, pick)
         l_type, _, l_emit, ltri = lrec[0], lrec[1], lrec[2], lrec[3]
@@ -273,8 +278,7 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
 
         # (2) light-sampling MIS -> AH shadow ray (render.cuh:183-210)
         wi_l, li, light_t, light_pdf, ltri = sample_li_v3(
-            scene.lights, pick, p,
-            draw(_S_LIGHT_UV), draw(_S_LIGHT_UV + 1), rec=lrec)
+            scene.lights, pick, p, u_luv[0], u_luv[1], rec=lrec)
         n_l = v3.where(v3.dot(n_g, wi_l) > 0.0, n_g, v3.neg(n_g))
         got_f, f_l, scat_pdf = get_f_v3(mtype, albedo, wo, wi_l, n_l)
         f_lc = v3.scale(v3.dot(wi_l, n_l), f_l)
@@ -282,14 +286,14 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         # pdf is C-truncated at both call sites (render.cuh:201,229)
         g_l = jnp.trunc(scat_pdf) if cfg.reference_parity else scat_pdf
         w_l = jnp.where(delta, 1.0, power_heuristic(light_pdf, g_l))
-        ah_L = v3.mul(multiplier, v3.scale(w_l / light_pdf, v3.mul(f_lc, li)))
+        ah_L = v3.mul(multiplier,
+                      v3.scale(w_l / light_pdf, v3.mul(f_lc, li)))
         ah_o, ah_d, ah_tmax = spawn_offset_ray_v3(p, n_l, wi_l, light_t)
         ah_mask = mat_mask & got_f
 
         # (3) BSDF-sampling MIS -> CH shadow ray (render.cuh:213-245)
         f2, wi2, pdf2, n2 = sample_f_v3(mtype, albedo, ior, wo, n_g,
-                                        draw(_S_BSDF2), draw(_S_BSDF2 + 1),
-                                        draw(_S_BSDF2 + 2))
+                                        *u_bsdf2)
         f2c = v3.scale(v3.dot(wi2, n2), f2)
         spec = is_specular(mtype)
         lpdf2 = pdf_li_v3(scene.lights, pick, p, wi2, rec=lrec)
@@ -298,17 +302,17 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         chs_mask = mat_mask & ~delta & (spec | (lpdf2 > 0.0))
         chs_L = v3.mul(multiplier, v3.scale(w2 / pdf2, v3.mul(f2c, l_emit)))
         chs_o, chs_d, _ = spawn_offset_ray_v3(p, n2, wi2)
-        # "closest hit == the target triangle" (render.cuh:321)  <=>  the ray
-        # hits the target at t AND nothing else hits with t' < t.  One direct
-        # MT test + an any-hit query (excluding the target) replaces the
-        # expensive closest-hit traversal.
+        # "closest hit == the target triangle" (render.cuh:321)  <=>  the
+        # ray hits the target at t AND nothing else hits with t' < t.  One
+        # direct MT test + an any-hit query (excluding the target) replaces
+        # the expensive closest-hit traversal.
         if cfg.reference_parity:
             # render.cuh:236 stores the triangle the path is STANDING ON as
-            # the target, so the channel pays off only in the degenerate case
-            # where the bounce ray re-hits its own triangle — the reference
-            # bug, replicated bit-for-bit.  (Instanced hits have no base-
-            # scene "own" triangle; the reference has no instancing, and the
-            # masked-off channel contributes 0 there either way.)
+            # the target, so the channel pays off only in the degenerate
+            # case where the bounce ray re-hits its own triangle — the
+            # reference bug, replicated bit-for-bit.  (Instanced hits have
+            # no base-scene "own" triangle; the reference has no instancing,
+            # and the masked-off channel contributes 0 there either way.)
             prim_s2 = jnp.clip(prim, 0, scene.tris.num - 1)
             chs_tgt = jnp.where(src == 0, prim, INVALID_INDEX)
             own_tri = tuple(
@@ -319,12 +323,63 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
                 chs_o, chs_d, jnp.inf, *own_tri)
             chs_mask = chs_mask & chs_hit_l & (src == 0)
         else:
-            # target fixed to the picked light (deviation 3); its triangle is
-            # embedded in the light table — no scene gather
+            # target fixed to the picked light (deviation 3); its triangle
+            # is embedded in the light table — no scene gather
             chs_tgt = ltri
             chs_hit_l, chs_t, _, _ = intersect_triangle_v3(
                 chs_o, chs_d, jnp.inf, ltp0, lte1, lte2, ltn)
             chs_mask = chs_mask & chs_hit_l
+        out.update(ah_o=ah_o, ah_d=ah_d, ah_tmax=ah_tmax, ah_L=ah_L,
+                   ah_mask=ah_mask, ltri=ltri, chs_o=chs_o, chs_d=chs_d,
+                   chs_L=chs_L, chs_mask=chs_mask, chs_tgt=chs_tgt,
+                   chs_t=chs_t)
+        return out
+
+    shade_in = (src, prim, beta, ray_o_p, ray_d_p, t_p, normal, mat_mask,
+                (draw(_S_BSDF1), draw(_S_BSDF1 + 1), draw(_S_BSDF1 + 2)),
+                draw(_S_LIGHT_PICK),
+                (draw(_S_LIGHT_UV), draw(_S_LIGHT_UV + 1)),
+                (draw(_S_BSDF2), draw(_S_BSDF2 + 1), draw(_S_BSDF2 + 2)))
+    C = cfg.shade_chunks
+    if state_sorted and C > 1 and n % C == 0:
+        # prefix-windowed shading: continuing lanes are a contiguous prefix
+        # after the sort, so shade only the ceil(num_mat/chunk) chunks that
+        # overlap it (traced trip count; the loop body compiles ONCE).
+        # Beyond-window lanes keep zeros — every consumer below is masked.
+        csz = n // C
+        num_mat_s = jnp.sum(mat_mask).astype(jnp.int32)
+        nchunks = (num_mat_s + csz - 1) // csz
+
+        def zeros_out():
+            zf = lambda: jnp.zeros(n, jnp.float32)
+            z3 = lambda: (zf(), zf(), zf())
+            out = dict(next_o=z3(), next_d=z3(), next_beta=z3())
+            if num_lights > 0:
+                out.update(ah_o=z3(), ah_d=z3(), ah_tmax=zf(), ah_L=z3(),
+                           ah_mask=jnp.zeros(n, bool),
+                           ltri=jnp.full(n, INVALID_INDEX, jnp.int32),
+                           chs_o=z3(), chs_d=z3(), chs_L=z3(),
+                           chs_mask=jnp.zeros(n, bool), chs_t=zf(),
+                           chs_tgt=jnp.full(n, INVALID_INDEX, jnp.int32))
+            return out
+
+        def chunk_body(c, outs):
+            sl = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, c * csz, csz),
+                shade_in)
+            return jax.tree_util.tree_map(
+                lambda o, x: jax.lax.dynamic_update_slice_in_dim(
+                    o, x, c * csz, 0), outs, _shade(*sl))
+
+        sh = jax.lax.fori_loop(0, nchunks, chunk_body, zeros_out())
+    else:
+        sh = _shade(*shade_in)
+    next_o, next_d, next_beta = sh["next_o"], sh["next_d"], sh["next_beta"]
+    if num_lights > 0:
+        ah_o, ah_d, ah_tmax = sh["ah_o"], sh["ah_d"], sh["ah_tmax"]
+        ah_L, ah_mask, ltri = sh["ah_L"], sh["ah_mask"], sh["ltri"]
+        chs_o, chs_d, chs_L = sh["chs_o"], sh["chs_d"], sh["chs_L"]
+        chs_mask, chs_tgt, chs_t = sh["chs_mask"], sh["chs_tgt"], sh["chs_t"]
 
     # ---- gen: refill dead slots with camera rays (render.cuh:250-275) -----
     gen_rank = jnp.cumsum(gen_mask) - gen_mask  # exclusive prefix sum

@@ -134,3 +134,18 @@ def test_ppm_roundtrip(tmp_path, matte_pair):
     write_ppm(path, np.asarray(fb), 16, 16)
     img = read_ppm(path)
     np.testing.assert_array_equal(img, to_u8(np.asarray(fb), 16, 16))
+
+
+def test_windowed_shading_matches_full(matte_pair):
+    """Prefix-windowed shading (shade_chunks > 1) must be bit-identical to
+    full-width shading: beyond-window lanes are zero-filled and every
+    consumer is masked; in-window lanes compute the same math."""
+    scene, _ = matte_pair
+    cam = default_camera()
+    base = dict(width=24, height=24, num_samples=16, max_bounces=4,
+                num_working_paths=2048, traversal="pallas")
+    fb_w, _ = render_frame(scene, cam, RenderConfig(**base, shade_chunks=8),
+                           jax.random.key(3))
+    fb_f, _ = render_frame(scene, cam, RenderConfig(**base, shade_chunks=1),
+                           jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(fb_w), np.asarray(fb_f))
