@@ -453,6 +453,102 @@ def make_leaf_mt_mxu_group(n_iters, group=8, splitk=True):
     return f, (at, fm)
 
 
+def make_mxu_group_hbm(n_iters, group=8, dma=True, matmul=True,
+                       extract=True, buf_depth=4):
+    """Production-shaped MXU group drain bisect: A blocks streamed from HBM
+    through a DMA ring (like pallas_wide._mxu_drain_loop), one
+    [group*32, 128] @ [128, 2048] matmul per group, whole-group winner
+    extraction.  Toggles isolate DMA / matmul / extraction costs.
+    Each iter = ONE GROUP (= `group` leaf visits)."""
+    G8 = group * 8
+    ROWS = 4 * G8
+    K = 128
+    NB = buf_depth
+
+    def kernel(am_hbm, q_ref, f_ref, out_ref, gbuf, sems):
+        F = f_ref[:]
+
+        def dma_start(gi, j):
+            buf = gi % NB
+            row = q_ref[(gi * group + j) % 512]
+            return pltpu.make_async_copy(
+                am_hbm.at[pl.ds(row * 32, 32), :],
+                gbuf.at[buf, pl.ds(j * 32, 32), :],
+                sems.at[buf, j])
+
+        if dma:
+            for b in range(NB):
+                for j in range(group):
+                    dma_start(b, j).start()
+
+        def body(carry):
+            best_t, best_p, gi = carry
+            buf = gi % NB
+            if dma:
+                for j in range(group):
+                    dma_start(gi, j).wait()
+            A = gbuf[buf]
+            if matmul:
+                out = jnp.dot(A, F, preferred_element_type=jnp.float32)
+            else:
+                out = jnp.broadcast_to(A[:1].astype(jnp.float32),
+                                       (ROWS, 2048))
+            if extract:
+                o4 = out.reshape(group, 4, 8, 2048)
+                det, tn, un, vn = o4[:, 0], o4[:, 1], o4[:, 2], o4[:, 3]
+                s = jnp.where(det < 0.0, -1.0, 1.0)
+                adet = det * s
+                at_ = tn * s
+                au = un * s
+                av = vn * s
+                bt = jnp.broadcast_to(best_t.reshape(1, 1, 2048), det.shape)
+                h = (au >= 0.) & (av >= 0.) & (au + av <= adet) & \
+                    (at_ > 0.) & (at_ <= bt * adet)
+                tg = jnp.where(h, at_ / adet, BIG).reshape(G8, 2048)
+                visit_t = jnp.min(tg, axis=0, keepdims=True)
+                rows = jax.lax.broadcasted_iota(jnp.int32, tg.shape, 0)
+                sgl = jnp.min(jnp.where(tg <= visit_t, rows, G8),
+                              axis=0, keepdims=True)
+                hid = jnp.zeros_like(sgl)
+                for j in range(group):
+                    row = q_ref[(gi * group + j) % 512]
+                    hid = jnp.where(sgl >> 3 == j, row * 8 + (sgl - j * 8),
+                                    hid)
+                improved = visit_t < best_t
+                best_t = jnp.where(improved, visit_t, best_t)
+                best_p = jnp.where(improved, hid, best_p)
+            else:
+                best_t = best_t + jnp.sum(out) * 1e-30
+
+            if dma:
+                @pl.when(gi + NB < n_iters)
+                def _():
+                    for j in range(group):
+                        dma_start(gi + NB, j).start()
+            return best_t, best_p, gi + 1
+
+        init = (jnp.full((1, 2048), BIG, jnp.float32),
+                jnp.full((1, 2048), -1, jnp.int32), jnp.int32(0))
+        out = jax.lax.while_loop(lambda c: c[-1] < n_iters, body, init)
+        out_ref[:] = out[0] + out[1].astype(jnp.float32) * 1e-9
+
+    L = 4096
+    at = jnp.asarray(np.random.rand(L * 32, K), jnp.bfloat16)
+    q = jnp.asarray(np.random.randint(0, L, 512), jnp.int32)
+    fm = jnp.asarray(np.random.rand(K, 2048), jnp.bfloat16)
+    f = jax.jit(lambda at, q, fm: pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 2048), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((NB, ROWS, K), jnp.bfloat16),
+                        pltpu.SemaphoreType.DMA((NB, group))],
+    )(at, q, fm))
+    return f, (at, q, fm)
+
+
 def make_feature_build(n_iters):
     """Per-tile feature-matrix build in-kernel: 10 relayouts of [16,128]
     components to [1, 2048] rows + sublane concat to [16, 2048] (the once-
@@ -591,6 +687,12 @@ ALL = {
                               20_000),
     "leaf_mt_mxu_g8_f32": (partial(make_leaf_mt_mxu_group, splitk=False),
                            10_000),
+    "mxu_hbm_full": (make_mxu_group_hbm, 5_000),
+    "mxu_hbm_nodma": (partial(make_mxu_group_hbm, dma=False), 5_000),
+    "mxu_hbm_noext": (partial(make_mxu_group_hbm, extract=False), 5_000),
+    "mxu_hbm_nomm": (partial(make_mxu_group_hbm, matmul=False), 5_000),
+    "mxu_hbm_dmaonly": (partial(make_mxu_group_hbm, matmul=False,
+                                extract=False), 5_000),
     "feature_build": (make_feature_build, 20_000),
     "relayout": (make_relayout, 20_000),
     "clz": (make_clz, 200_000),

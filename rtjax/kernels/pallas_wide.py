@@ -81,12 +81,26 @@ class WideTables:
       is a leaf (or empty; empties never hit).
     leaf_tris [L, 128] f32: MAX_LEAF triangles (p0,e1,e2,n — the reference's
       edge-precomputed storage, triangle.cuh:6-7) + 8 prim ids as exact f32.
+
+    MXU-drain companions (None when not built):
+    leaf_amat [L*32, 128] bf16 (HBM-resident): per leaf 32 coefficient rows
+      (field-major: det/t_num/u_num/v_num x 8 slots) of the bilinear MT
+      form against the ray-feature basis [d, dxo, o, 1, 0..] — stored as
+      the 6-term split-K expansion ([A1|A1|A1|A2|A2|A3] of the 3-way bf16
+      split a = a1+a2+a3), so ONE default-precision MXU pass accumulates
+      f32-faithful products (see _mxu_drain_loop).
+    leaf_pid [L*8] i32, leaf_nrm 3 x [L*8] f32: per (leaf row, slot) the
+      prim id and unnormalized geometric normal — gathered engine-side by
+      the winning hit id (hid = leaf_row*8 + slot) after traversal.
     """
 
     node_bounds: jax.Array
     child_meta: jax.Array
     node_info: jax.Array
     leaf_tris: jax.Array
+    leaf_amat: jax.Array | None = None
+    leaf_pid: jax.Array | None = None
+    leaf_nrm: tuple | None = None
 
     @property
     def num_wide_nodes(self) -> int:
@@ -98,10 +112,16 @@ class WideTables:
 
     def device(self) -> "WideTables":
         """jnp-ify (host-built tables are numpy until placed)."""
+        j = lambda a: None if a is None else jnp.asarray(a)
         return WideTables(node_bounds=jnp.asarray(self.node_bounds),
                           child_meta=jnp.asarray(self.child_meta),
                           node_info=jnp.asarray(self.node_info),
-                          leaf_tris=jnp.asarray(self.leaf_tris))
+                          leaf_tris=jnp.asarray(self.leaf_tris),
+                          leaf_amat=j(self.leaf_amat),
+                          leaf_pid=j(self.leaf_pid),
+                          leaf_nrm=(None if self.leaf_nrm is None else
+                                    tuple(jnp.asarray(c)
+                                          for c in self.leaf_nrm)))
 
 
 def _half_area(bmin, bmax):
@@ -216,6 +236,87 @@ def pack_leaf_rows(leaves, left_first, num_prims, p0, e1, e2, n_vec,
     return tri_rows
 
 
+AM_ROWS = 4 * MAX_LEAF   # A-matrix rows per leaf (det/t/u/v x 8 slots)
+AM_K = 128               # contraction width: 6 split-K term-pairs x 16
+                         # = 96 significant columns + 32 zero pad (Mosaic
+                         # requires HBM slices 128-aligned in dim 1)
+MXU_GROUP = 8            # leaves per drain matmul ([256, 128] @ [128, 2048])
+
+
+def _split3_bf16(x):
+    """3-way bf16 split: x ~= a1 + a2 + a3 with each term exactly
+    representable in bf16, capturing ~24 mantissa bits (f32-faithful).
+    Products a_i * b_j of two such splits are exact in f32, so an MXU
+    bf16 pass accumulating them in f32 matches precision=highest."""
+    import ml_dtypes
+    bf = ml_dtypes.bfloat16
+    a1 = x.astype(bf)
+    r = x - a1.astype(np.float64)
+    a2 = r.astype(bf)
+    a3 = (r - a2.astype(np.float64)).astype(bf)
+    return a1, a2, a3
+
+
+def pack_leaf_amat(leaves, left_first, num_prims, p0, e1, e2, n_vec,
+                   prim_ids=None):
+    """Per-leaf MT coefficient blocks for the MXU group drain.
+
+    MT is bilinear in (triangle fields, ray features).  With the feature
+    basis phi = [d, dxo, o, 1, 0*6] (dxo = d x o):
+      det   = n . d
+      t_num = (p0 . n) - n . o          (c . n with c = p0 - o)
+      u_num = (p0 x e2) . d - e2 . dxo  (e2 . (d x c) refactored)
+      v_num = (p0 x e1) . d - e1 . dxo
+    and u = u_num/det etc, exactly the reference accept rule
+    (triangle.cuh:39-58) after the sign-flip normalization in the kernel.
+    Coefficients are computed in f64 and stored as the 6-term split-K
+    expansion (see WideTables.leaf_amat).  Padded slots are all-zero rows:
+    det = t = 0 fails `t_num > 0`, so they can never be accepted.
+
+    Returns ``(amat [L*32, 96] bf16, pid [L*8] i32, nrm 3 x [L*8] f32)``.
+    """
+    n_leaves = max(len(leaves), 1)
+    p0 = np.asarray(p0, np.float64)
+    e1 = np.asarray(e1, np.float64)
+    e2 = np.asarray(e2, np.float64)
+    n_vec = np.asarray(n_vec, np.float64)
+    if prim_ids is None:
+        prim_ids = np.arange(len(p0), dtype=np.int32)
+
+    first = np.asarray(left_first)[leaves]
+    count = np.asarray(num_prims)[leaves]
+    coeff = np.zeros((n_leaves, 4, MAX_LEAF, 16), np.float64)
+    pid = np.full((n_leaves, MAX_LEAF), -1, np.int32)
+    nrm = np.zeros((n_leaves, MAX_LEAF, 3), np.float32)
+    for j in range(MAX_LEAF):
+        has = count > j
+        src = np.where(has, first + j, 0)
+        P, E1, E2, N = p0[src], e1[src], e2[src], n_vec[src]
+        m = has[:, None]
+        coeff[:len(leaves), 0, j, 0:3] = np.where(m, N, 0.0)
+        coeff[:len(leaves), 1, j, 6:9] = np.where(m, -N, 0.0)
+        coeff[:len(leaves), 1, j, 9] = np.where(
+            has, np.einsum("ij,ij->i", P, N), 0.0)
+        coeff[:len(leaves), 2, j, 0:3] = np.where(m, np.cross(P, E2), 0.0)
+        coeff[:len(leaves), 2, j, 3:6] = np.where(m, -E2, 0.0)
+        coeff[:len(leaves), 3, j, 0:3] = np.where(m, np.cross(P, E1), 0.0)
+        coeff[:len(leaves), 3, j, 3:6] = np.where(m, -E1, 0.0)
+        pid[:len(leaves), j] = np.where(has, prim_ids[src], -1)
+        nrm[:len(leaves), j] = np.where(m, N, 0.0).astype(np.float32)
+
+    rows = coeff.reshape(n_leaves * AM_ROWS, 16)
+    a1, a2, a3 = _split3_bf16(rows)
+    # column layout [A1|A1|A1|A2|A2|A3|0] pairs with the kernel's F-row
+    # layout [F1;F2;F3;F1;F2;F1;0]: the 6 significant term-pairs of
+    # (a1+a2+a3)(b1+b2+b3), dropping only O(2^-24)-relative terms; the
+    # zero tail pads K from 96 to AM_K=128 (HBM slice alignment)
+    zpad = np.zeros((rows.shape[0], AM_K - 96), a1.dtype)
+    amat = np.concatenate([a1, a1, a1, a2, a2, a3, zpad], axis=1)
+    return (amat, pid.reshape(-1),
+            tuple(np.ascontiguousarray(nrm.reshape(-1, 3)[:, k])
+                  for k in range(3)))
+
+
 def build_wide_tables(res: BuildResult, p0, e1, e2, n_vec,
                       prim_ids=None, as_numpy=False) -> WideTables:
     """Collapse a binary BuildResult + leaf-ordered triangles into wide
@@ -238,6 +339,9 @@ def build_wide_tables(res: BuildResult, p0, e1, e2, n_vec,
     leaf_row_of = {g: i for i, g in enumerate(leaf_nodes)}
     leaf_tris = pack_leaf_rows(np.asarray(leaf_nodes, np.int64), left_first,
                                num_prims, p0, e1, e2, n_vec, prim_ids)
+    amat, lpid, lnrm = pack_leaf_amat(np.asarray(leaf_nodes, np.int64),
+                                      left_first, num_prims, p0, e1, e2,
+                                      n_vec, prim_ids)
 
     node_bounds = np.full((n_wide, 128), np.nan, np.float32)
     child_meta = np.zeros((n_wide, WIDTH), np.int32)
@@ -279,7 +383,8 @@ def build_wide_tables(res: BuildResult, p0, e1, e2, n_vec,
     out = WideTables(node_bounds=node_bounds,
                      child_meta=child_meta.reshape(-1),
                      node_info=node_info,
-                     leaf_tris=leaf_tris)
+                     leaf_tris=leaf_tris,
+                     leaf_amat=amat, leaf_pid=lpid, leaf_nrm=lnrm)
     return out if as_numpy else out.device()
 
 
@@ -638,6 +743,125 @@ def _hbm_drain_loop(q_ref, lt_hbm, rowbuf, sems, drain_fn):
     return loop
 
 
+MXU_BUF = 4  # A-block group buffers in flight (DMA ring depth)
+
+
+def _build_f96(o, d):
+    """Per-tile split-K ray-feature matrix [AM_K, 2048] bf16.
+
+    Rows are [F1;F2;F3;F1;F2;F1;0] of the 3-way bf16 split of the feature
+    basis phi = [d, d x o, o, 1, 0*6] — the column-pair layout of
+    pack_leaf_amat, so one default-precision MXU pass accumulates the 6
+    significant term-pairs (exact bf16 products, f32 accumulation):
+    f32-faithful MT at bf16-dot cost (~153 ns/visit vs 363 VPU and 1104
+    precision=highest, benchmarks/micro_kernel.py leaf_mt_mxu_g*)."""
+    dxo = (d[1] * o[2] - d[2] * o[1],
+           d[2] * o[0] - d[0] * o[2],
+           d[0] * o[1] - d[1] * o[0])
+    ones = jnp.ones_like(o[0])
+    rows = [c.reshape(1, TILE)
+            for c in (d[0], d[1], d[2]) + dxo + (o[0], o[1], o[2], ones)]
+    rows += [jnp.zeros((1, TILE), jnp.float32)] * 6
+    F = jnp.concatenate(rows, axis=0)           # [16, 2048] f32
+    f1 = F.astype(jnp.bfloat16)
+    r = F - f1.astype(jnp.float32)
+    f2 = r.astype(jnp.bfloat16)
+    f3 = (r - f2.astype(jnp.float32)).astype(jnp.bfloat16)
+    zpad = jnp.zeros((AM_K - 96, TILE), jnp.bfloat16)
+    return jnp.concatenate([f1, f2, f3, f1, f2, f1, zpad], axis=0)
+
+
+def _mxu_drain_loop(q_ref, am_hbm, F96, gbuf, sems):
+    """Drain the leaf queue in groups of MXU_GROUP leaves on the MXU.
+
+    One [128, 96] @ [96, 2048] matmul per group produces det/t_num/u_num/
+    v_num for all 32 (leaf, slot) pairs x 2048 lanes; the sign-flip accept
+    rule (u >= 0 etc as u_num*s >= 0 with s = sign(det)) reproduces the
+    reference accept exactly (triangle.cuh:39-58).  A-blocks stream from
+    HBM through a double-buffered ring (gbuf [MXU_BUF, 128, 96], one DMA
+    per leaf).  A short final group replicates its first entry — a
+    duplicated visit is idempotent (its winner equals best_t, and
+    ``improved`` is strict).
+
+    ds = (best_t [1, TILE] f32, best_hid [1, TILE] i32): best_t doubles as
+    the walk's pruning tmax (returned relayout to [SUBLANES, 128]); hid =
+    leaf_row * 8 + slot — prim id and normal are gathered engine-side from
+    leaf_pid/leaf_nrm, NOT extracted per visit (extraction of 2 payloads
+    keeps the drain at ~12 VPU ops per leaf row-block)."""
+    G = MXU_GROUP
+
+    def dma(gi, j, qn):
+        buf = gi % MXU_BUF
+        qi = jnp.minimum(gi * G + j, jnp.maximum(qn - 1, 0))
+        row = q_ref[qi] >> 4
+        return pltpu.make_async_copy(
+            am_hbm.at[pl.ds(row * AM_ROWS, AM_ROWS), :],
+            gbuf.at[buf, pl.ds(j * AM_ROWS, AM_ROWS), :],
+            sems.at[buf, j])
+
+    def start(gi, qn):
+        for j in range(G):
+            dma(gi, j, qn).start()
+
+    def loop(qn, tmax, ds):
+        ng = (qn + G - 1) // G
+
+        for b in range(MXU_BUF):  # fill the ring: groups 0..MXU_BUF-1
+            @pl.when(ng > b)
+            def _(b=b):
+                start(b, qn)
+
+        def body(c2):
+            gi, _tm, (best_t, best_hid) = c2
+            buf = gi % MXU_BUF
+            for j in range(G):
+                dma(gi, j, qn).wait()
+            A = gbuf[buf]                       # [G*32, AM_K] bf16
+            out = jnp.dot(A, F96, preferred_element_type=jnp.float32)
+            # ONE whole-group extraction (per-leaf [1, 2048] best-updates
+            # measured ~2x slower: 1/8-utilization vreg ops + per-leaf
+            # scalar sequencing — benchmarks/micro_kernel.py group variant).
+            # Rows are (leaf j, field f, slot k) = j*32 + f*8 + k; each
+            # [G, 8, 2048] field view is vreg-aligned (8-row bands).
+            o4 = out.reshape(G, 4, MAX_LEAF, TILE)
+            det, tn, un, vn = o4[:, 0], o4[:, 1], o4[:, 2], o4[:, 3]
+            s = jnp.where(det < 0.0, -1.0, 1.0)
+            adet = det * s
+            at_ = tn * s
+            au = un * s
+            av = vn * s
+            bt = jnp.broadcast_to(best_t.reshape(1, 1, TILE), det.shape)
+            h = (au >= 0.0) & (av >= 0.0) & (au + av <= adet) & \
+                (at_ > 0.0) & (at_ <= bt * adet)
+            tg = jnp.where(h, at_ / adet, BIG).reshape(G * MAX_LEAF, TILE)
+            visit_t = jnp.min(tg, axis=0, keepdims=True)      # [1, 2048]
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, tg.shape, 0)
+            sgl = jnp.min(jnp.where(tg <= visit_t, rows_i, G * MAX_LEAF),
+                          axis=0, keepdims=True)  # winner (leaf j, slot k)
+            # hid = leaf_row[j]*8 + k: resolve j = sgl//8 via G selects
+            hid = jnp.zeros_like(sgl)
+            for j in range(G):
+                qi = jnp.minimum(gi * G + j, qn - 1)
+                row = q_ref[qi] >> 4
+                hid = jnp.where(sgl >> 3 == j,
+                                row * MAX_LEAF + (sgl - j * MAX_LEAF), hid)
+            improved = visit_t < best_t
+            best_t = jnp.where(improved, visit_t, best_t)
+            best_hid = jnp.where(improved, hid, best_hid)
+
+            @pl.when(gi + MXU_BUF < ng)
+            def _():
+                start(gi + MXU_BUF, qn)
+            return (gi + 1, best_t.reshape(SUBLANES, 128),
+                    (best_t, best_hid))
+
+        _, tmax, ds = jax.lax.while_loop(lambda c2: c2[0] < ng, body,
+                                         (jnp.int32(0), tmax, ds))
+        return tmax, ds
+
+    return loop
+
+
 def _closest_drain(o, d, inst_id=None):
     """Drain-state update for closest-hit: MT-test a leaf row, keep the
     per-lane closest accepted hit and shrink tmax.  ``inst_id`` (scalar) is
@@ -674,7 +898,8 @@ def _anyhit_drain(o, d, exclude):
     return drain
 
 
-def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False):
+def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
+                         mxu_drain: bool = False):
   """Wide closest-hit kernel: in-kernel tile loop (tables DMA'd once), per
   tile an outer loop alternating walk chunks and leaf-queue drains.
 
@@ -685,7 +910,10 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False):
   With ``leaf_hbm`` the leaf table stays in HBM and drains stream rows
   through a DMA ring (two extra scratch args); with ``meta_vmem`` the
   child_meta/node_info SMEM inputs are dropped and meta comes from the
-  bounds-row mirror lanes (see _vmem_meta)."""
+  bounds-row mirror lanes (see _vmem_meta).  With ``mxu_drain`` the leaf
+  input is the HBM A-matrix table and drains run in MXU groups
+  (_mxu_drain_loop); outputs are then (hit, t, hid, stats) — no normals
+  (engine gathers leaf_pid/leaf_nrm by hid)."""
 
   def kernel(*args):
     if meta_vmem:
@@ -695,8 +923,11 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False):
         (o_ref, d_ref, t_ref, act_ref, ni_ref, cm_ref, nb_ref, lt_ref,
          *rest) = args
         cm_at, info_read = _smem_meta(cm_ref, ni_ref)
-    (hit_ref, tout_ref, prim_ref, nx_ref, ny_ref, nz_ref,
-     st_ref, stack_ref, q_ref, *dma) = rest
+    if mxu_drain:
+        hit_ref, tout_ref, prim_ref, st_ref, stack_ref, q_ref, *dma = rest
+    else:
+        (hit_ref, tout_ref, prim_ref, nx_ref, ny_ref, nz_ref,
+         st_ref, stack_ref, q_ref, *dma) = rest
     n_tiles = hit_ref.shape[0]
 
     def tile_body(ti, _):
@@ -712,25 +943,40 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False):
       stack_ref[0] = 0
 
       refs = (nb_ref, cm_at, info_read, stack_ref, q_ref)
-      drain_fn = _closest_drain(o, d)
-      if leaf_hbm:
-          dloop = _hbm_drain_loop(q_ref, lt_ref, dma[0], dma[1], drain_fn)
+      if mxu_drain:
+          F96 = _build_f96(o, d)
+          dloop = _mxu_drain_loop(q_ref, lt_ref, F96, dma[0], dma[1])
+          # best_t doubles as the pruning bound: capped at BIG so an
+          # all-rejected visit (visit_t == BIG) can never "improve" an
+          # inf initial tmax and report a phantom hit
+          ds0 = (jnp.minimum(tmax, BIG).reshape(1, TILE),
+                 jnp.full((1, TILE), -1, jnp.int32))
       else:
-          dloop = _simple_drain_loop(q_ref, lt_ref, drain_fn)
-      ds0 = (jnp.full(tmax.shape, BIG, jnp.float32),
-             jnp.full(tmax.shape, -1, jnp.int32),
-             (jnp.zeros_like(tmax),) * 3)
+          drain_fn = _closest_drain(o, d)
+          if leaf_hbm:
+              dloop = _hbm_drain_loop(q_ref, lt_ref, dma[0], dma[1],
+                                      drain_fn)
+          else:
+              dloop = _simple_drain_loop(q_ref, lt_ref, drain_fn)
+          ds0 = (jnp.full(tmax.shape, BIG, jnp.float32),
+                 jnp.full(tmax.shape, -1, jnp.int32),
+                 (jnp.zeros_like(tmax),) * 3)
       rounds, leafs, _, ds = _run_walk(
           refs, inv, sc, octant, jnp.where(any_valid, 0, IDLE), tmax, ds0,
           dloop, _never, jnp.int32(0), jnp.int32(0))
-      t, prim, n3 = ds
+      if mxu_drain:
+          t = ds[0].reshape(SUBLANES, 128)
+          prim = ds[1].reshape(SUBLANES, 128)
+      else:
+          t, prim, n3 = ds
       hit = (prim >= 0) & valid
       hit_ref[ti] = hit.astype(jnp.int32)
       tout_ref[ti] = t
       prim_ref[ti] = jnp.where(hit, prim, -1)
-      nx_ref[ti] = n3[0]
-      ny_ref[ti] = n3[1]
-      nz_ref[ti] = n3[2]
+      if not mxu_drain:
+          nx_ref[ti] = n3[0]
+          ny_ref[ti] = n3[1]
+          nz_ref[ti] = n3[2]
       st_ref[ti, 0] = rounds
       st_ref[ti, 1] = leafs
       return 0
@@ -827,7 +1073,7 @@ def concat_wide_tables(parts):
     hit the slab test).
     """
     node_off, leaf_off = [], []
-    nb, cm, ni, lt = [], [], [], []
+    nb, cm, ni, lt, am, lp, ln = [], [], [], [], [], [], []
     n_nodes = n_leaves = 0
     total_nodes = sum(t.num_wide_nodes for t in parts)
     total_leaves = sum(t.num_leaf_rows for t in parts)
@@ -852,13 +1098,23 @@ def concat_wide_tables(parts):
         nb.append(nbk)
         ni.append(np.asarray(t.node_info))
         lt.append(np.asarray(t.leaf_tris))
+        if t.leaf_amat is not None:
+            am.append(np.asarray(t.leaf_amat))
+            lp.append(np.asarray(t.leaf_pid))
+            ln.append(tuple(np.asarray(c) for c in t.leaf_nrm))
         n_nodes += t.num_wide_nodes
         n_leaves += t.num_leaf_rows
+    # MXU-drain companions concatenate by leaf row iff every part has them
+    has_am = len(am) == len(parts)
     tables = WideTables(
         node_bounds=jnp.asarray(np.concatenate(nb)),
         child_meta=jnp.asarray(np.concatenate(cm)),
         node_info=jnp.asarray(np.concatenate(ni)),
         leaf_tris=jnp.asarray(np.concatenate(lt)),
+        leaf_amat=jnp.asarray(np.concatenate(am)) if has_am else None,
+        leaf_pid=jnp.asarray(np.concatenate(lp)) if has_am else None,
+        leaf_nrm=(tuple(jnp.asarray(np.concatenate([t[k] for t in ln]))
+                        for k in range(3)) if has_am else None),
     )
     return tables, node_off, leaf_off
 
@@ -1114,10 +1370,13 @@ def _vmem_limit(tables: WideTables, n_rays: int,
     return min(int((table_bytes + ray_bytes) * 1.25) + (4 << 20), 127 << 20)
 
 
-def _scratch(leaf_hbm: bool = False):
+def _scratch(leaf_hbm: bool = False, mxu_drain: bool = False):
     s = [pltpu.SMEM((STACK_SIZE,), jnp.int32),
          pltpu.SMEM((Q_ALLOC,), jnp.int32)]
-    if leaf_hbm:
+    if mxu_drain:
+        s += [pltpu.VMEM((MXU_BUF, MXU_GROUP * AM_ROWS, AM_K), jnp.bfloat16),
+              pltpu.SemaphoreType.DMA((MXU_BUF, MXU_GROUP))]
+    elif leaf_hbm:
         s += [pltpu.VMEM((DMA_DEPTH, 1, 128), jnp.float32),
               pltpu.SemaphoreType.DMA((DMA_DEPTH,))]
     return s
@@ -1127,11 +1386,11 @@ _HBM = pl.BlockSpec(memory_space=pl.ANY)
 
 
 @partial(jax.jit, static_argnames=("interpret", "with_stats", "leaf_hbm",
-                                   "meta_vmem"))
+                                   "meta_vmem", "mxu_drain"))
 def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
                           active, interpret: bool = False,
                           with_stats: bool = False, leaf_hbm: bool = False,
-                          meta_vmem: bool = False):
+                          meta_vmem: bool = False, mxu_drain: bool = False):
     """Wide-BVH packet closest-hit traversal.
 
     Returns ``(hit, t, prim, normal)`` over ``[N]`` rays, where ``normal``
@@ -1145,6 +1404,11 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
     scalar pair is appended (summed over tiles; a walk round = NUM_WALKS
     wide-node steps, idle walks included).  ``leaf_hbm`` keeps the leaf
     table in HBM and streams rows per visit (big-scene mode).
+    ``mxu_drain`` runs leaf drains as MXU group matmuls against the
+    split-K A-matrix table (requires ``tables.leaf_amat``; implies the
+    leaf table lives in HBM); prim ids and normals are gathered from
+    ``leaf_pid``/``leaf_nrm`` by the winning (leaf row, slot) id after
+    the kernel, so the traversal loop carries only (t, hid).
     """
     as_v3 = isinstance(origin, tuple)
     n = origin[0].shape[0] if as_v3 else origin.shape[0]
@@ -1157,36 +1421,56 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
     act = _scalar_tiles(_pad(active.astype(jnp.int32), n_pad, 0), n_tiles)
 
     shp = (n_tiles, SUBLANES, 128)
+    if mxu_drain:
+        assert tables.leaf_amat is not None, \
+            "mxu_drain requires WideTables built with leaf_amat"
+        leaf_in, leaf_spec = tables.leaf_amat, _HBM
+    else:
+        leaf_in = tables.leaf_tris
+        leaf_spec = _HBM if leaf_hbm else _VMEM
     if meta_vmem:
-        in_specs = [_VMEM] * 5 + [_HBM if leaf_hbm else _VMEM]
-        ins = (o, d, tm, act, tables.node_bounds, tables.leaf_tris)
+        in_specs = [_VMEM] * 5 + [leaf_spec]
+        ins = (o, d, tm, act, tables.node_bounds, leaf_in)
     else:
         in_specs = [_VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _VMEM,
-                    _HBM if leaf_hbm else _VMEM]
+                    leaf_spec]
         ins = (o, d, tm, act, tables.node_info, tables.child_meta,
-               tables.node_bounds, tables.leaf_tris)
-    hit, t, prim, nx, ny, nz, st = pl.pallas_call(
-        _make_closest_kernel(leaf_hbm, meta_vmem),
+               tables.node_bounds, leaf_in)
+    n_out = 4 if mxu_drain else 7
+    out_shape = [jax.ShapeDtypeStruct(shp, jnp.int32),
+                 jax.ShapeDtypeStruct(shp, jnp.float32),
+                 jax.ShapeDtypeStruct(shp, jnp.int32)]
+    if not mxu_drain:
+        out_shape += [jax.ShapeDtypeStruct(shp, jnp.float32)] * 3
+    out_shape += [jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32)]
+    outs = pl.pallas_call(
+        _make_closest_kernel(leaf_hbm, meta_vmem, mxu_drain),
         in_specs=in_specs,
-        out_specs=[_VMEM] * 6 + [_SMEM],
-        out_shape=[jax.ShapeDtypeStruct(shp, jnp.int32),
-                   jax.ShapeDtypeStruct(shp, jnp.float32),
-                   jax.ShapeDtypeStruct(shp, jnp.int32),
-                   jax.ShapeDtypeStruct(shp, jnp.float32),
-                   jax.ShapeDtypeStruct(shp, jnp.float32),
-                   jax.ShapeDtypeStruct(shp, jnp.float32),
-                   jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32)],
-        scratch_shapes=_scratch(leaf_hbm),
+        out_specs=[_VMEM] * (n_out - 1) + [_SMEM],
+        out_shape=out_shape,
+        scratch_shapes=_scratch(leaf_hbm, mxu_drain),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(tables, n_pad, leaf_hbm)),
+            vmem_limit_bytes=_vmem_limit(tables, n_pad,
+                                         leaf_hbm or mxu_drain)
+                             + (8 << 20 if mxu_drain else 0)),
         interpret=interpret,
     )(*ins)
 
     flat = lambda a: a.reshape(n_pad)[:n]
-    normal = (flat(nx), flat(ny), flat(nz))
+    if mxu_drain:
+        hit, t, hid, st = outs
+        hit = flat(hit) != 0
+        hid = jnp.maximum(flat(hid), 0)
+        prim = jnp.where(hit, tables.leaf_pid[hid], -1)
+        normal = tuple(jnp.where(hit, c[hid], 0.0) for c in tables.leaf_nrm)
+    else:
+        hit, t, prim, nx, ny, nz, st = outs
+        hit = flat(hit) != 0
+        prim = flat(prim)
+        normal = (flat(nx), flat(ny), flat(nz))
     if not as_v3:
         normal = jnp.stack(normal, axis=-1)
-    out = (flat(hit) != 0, flat(t), flat(prim), normal)
+    out = (hit, flat(t), prim, normal)
     if with_stats:
         out = out + ((jnp.sum(st[:, 0]), jnp.sum(st[:, 1])),)
     return out

@@ -51,6 +51,19 @@ def _warn_blas_fallback(mesh_id):
                "its instances traverse on the (slow) XLA backend")
 
 
+def _use_mxu(cfg, mode, interp):
+    """Static decision: run closest-hit leaf drains on the MXU?  Auto
+    currently resolves to OFF: at system level the group drain measured
+    ~1.6x slower than the VPU drain on the bunny (fixed per-group costs
+    dominate the small queues — benchmarks/mxu_drain_bench.py), despite
+    the 2.4x/visit microbench win.  A bool in the config forces either
+    way (the parity test forces True under interpret)."""
+    mxu = getattr(cfg, "mxu_drain", None)
+    if mxu is None:
+        return False
+    return bool(mxu) and mode == "pallas"
+
+
 def resolve_mode(scene, cfg):
     mode = cfg.traversal
     if mode == "auto":
@@ -61,13 +74,16 @@ def resolve_mode(scene, cfg):
 
 
 def _backend(mode, interp, tables, bvh, tris, stack_size, with_stats=False,
-             leaf_hbm=False, meta_vmem=False):
+             leaf_hbm=False, meta_vmem=False, mxu_drain=False):
     if mode == "pallas":
         assert tables is not None, (
             "traversal='pallas' needs scenes built with max_leaf_size <= 8")
+        # any-hit keeps the VPU drain: it early-outs per visit and needs
+        # the excluded prim id in-kernel, which the A-matrix table drops
         return (partial(wide_traverse_closest, tables, interpret=interp,
                         with_stats=with_stats, leaf_hbm=leaf_hbm,
-                        meta_vmem=meta_vmem),
+                        meta_vmem=meta_vmem,
+                        mxu_drain=mxu_drain and tables.leaf_amat is not None),
                 partial(wide_traverse_anyhit, tables, interpret=interp,
                         with_stats=with_stats, leaf_hbm=leaf_hbm,
                         meta_vmem=meta_vmem))
@@ -177,7 +193,8 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
     closest, _ = _backend(mode, interp, scene.tables, scene.bvh, scene.tris,
                           cfg.stack_size, with_stats,
                           getattr(scene, "leaf_hbm", False),
-                          getattr(scene, "meta_vmem", False))
+                          getattr(scene, "meta_vmem", False),
+                          _use_mxu(cfg, mode, interp))
     hit, t, prim, n_w, *st = closest(o, d, tmax, active)
     t = jnp.where(hit, t, tmax)
     src = jnp.zeros_like(prim)
@@ -193,7 +210,8 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
             if mode_k != mode:
                 _warn_blas_fallback(inst.mesh_id[k])
             c_k, _ = _backend(mode_k, interp, blas.tables, blas.bvh,
-                              blas.tris, cfg.stack_size, with_stats)
+                              blas.tris, cfg.stack_size, with_stats,
+                              mxu_drain=_use_mxu(cfg, mode_k, interp))
             m = active & _instance_mask(inst, k, o, d)
             o_l = _affine_point_v3(inst.inv[k], o)
             d_l = _affine_vector_v3(inst.inv[k], d)  # NOT normalized:

@@ -100,6 +100,32 @@ def test_wide_closest_matches_xla(packed_scene):
     np.testing.assert_array_equal(np.asarray(np_)[m], np.asarray(nx_)[m])
 
 
+def test_mxu_drain_matches_vpu_drain(packed_scene):
+    """mxu_drain=True (leaf drains as split-K MXU group matmuls against the
+    HBM A-matrix table) must agree with the VPU drain: identical hit masks,
+    prim ids and normals; t within a few ulp (different contraction
+    order: 6 exact bf16-product terms accumulated in f32 vs VPU FMA)."""
+    res, ptris, tables = packed_scene
+    assert tables.leaf_amat is not None
+    assert tables.leaf_amat.shape[1] == 128  # HBM slice alignment
+    n = 2048 + 300
+    o, d = _rays(n)
+    tmax = jnp.full(n, jnp.inf)
+    active = jnp.asarray(np.random.default_rng(5).random(n) > 0.1)
+
+    a = wide_traverse_closest(tables, o, d, tmax, active, interpret=True)
+    m = wide_traverse_closest(tables, o, d, tmax, active, interpret=True,
+                              mxu_drain=True)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(m[0]))
+    msk = np.asarray(a[0])
+    np.testing.assert_allclose(np.asarray(m[1])[msk], np.asarray(a[1])[msk],
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(m[2])[msk],
+                                  np.asarray(a[2])[msk])
+    np.testing.assert_array_equal(np.asarray(m[3])[msk],
+                                  np.asarray(a[3])[msk])
+
+
 def test_wide_anyhit_matches_xla(packed_scene):
     res, ptris, tables = packed_scene
     bvh = res.to_device()
