@@ -69,9 +69,11 @@ def main():
             jax.block_until_ready(res)
             dt = (time.time() - t0) / reps
             results[(name, mxu)] = res
+            rounds = int(np.asarray(res[-1][0]))
             visits = int(np.asarray(res[-1][1]))
             print(f"{name:10s} mxu={int(mxu)}  {dt*1e3:8.3f} ms "
-                  f"({n/dt/1e6:7.1f} Mrays/s)  {visits} leaf visits "
+                  f"({n/dt/1e6:7.1f} Mrays/s)  {rounds} rounds + "
+                  f"{visits} leaf visits "
                   f"({dt/max(visits,1)*1e9:.0f} ns/visit)  "
                   f"compile {compile_s:.1f}s")
 

@@ -16,15 +16,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 
 def timeit(name, f, *args, reps=20):
+    """Times a jitted fn that returns a SCALAR.  Fetching any non-scalar
+    output through the remote-TPU tunnel costs ~100 ms/MB and poisons the
+    timing, so every benched fn below reduces to a scalar in-jit."""
     import numpy as np
     out = f(*args)
-    _ = np.asarray(out[0] if isinstance(out, tuple) else out).ravel()[:1]
+    _ = float(np.asarray(out))
     t0 = time.time()
     for _i in range(reps):
         out = f(*args)
-    _ = np.asarray(out[0] if isinstance(out, tuple) else out).ravel()[:1]
+    _ = float(np.asarray(out))
     dt = (time.time() - t0) / reps
-    print(f"{name:34s} {dt*1e3:7.3f} ms")
+    print(f"{name:34s} {dt*1e3:7.3f} ms", flush=True)
     return dt
 
 
@@ -55,23 +58,27 @@ def main():
     @jax.jit
     def full_sort(o, d, mask, bundle):
         keys = ray_sort_keys(o, d, jnp.zeros(3), jnp.ones(3), mask)
-        return sort_pytree_by_key(keys, bundle)
+        out = sort_pytree_by_key(keys, bundle)
+        return sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree_util.tree_leaves(out))
 
     @jax.jit
     def keys_only(o, d, mask):
-        return ray_sort_keys(o, d, jnp.zeros(3), jnp.ones(3), mask)
+        return jnp.sum(ray_sort_keys(o, d, jnp.zeros(3), jnp.ones(3),
+                                     mask).astype(jnp.float32))
 
     @jax.jit
     def rng_sweep(key):
-        return rtrng.uniform_block(key, 3, 16, n)
+        return jnp.sum(rtrng.uniform_block(key, 3, 16, n))
 
     @jax.jit
     def fb_scatter(fb, pix, o, mask):
-        return fb.at[pix].add(jnp.where(mask[:, None], o, 0.0), mode="drop")
+        return jnp.sum(
+            fb.at[pix].add(jnp.where(mask[:, None], o, 0.0), mode="drop"))
 
     @jax.jit
     def cumsum_rank(mask):
-        return jnp.cumsum(mask) - mask
+        return jnp.sum(jnp.cumsum(mask) - mask)
 
     @jax.jit
     def shading_standin(o, d, r):
@@ -81,7 +88,7 @@ def main():
         for _ in range(10):
             x = x * d + r[:, None]
             x = jnp.where(r[:, None] > 0.5, x, -x)
-        return x
+        return jnp.sum(x)
 
     timeit("multi-payload sort (keys+11 col)", full_sort, o, d, mask, bundle)
     timeit("sort keys only", keys_only, o, d, mask)
@@ -101,12 +108,12 @@ def main():
 
     @jax.jit
     def nop_launch(x):
-        return pl.pallas_call(
+        return jnp.sum(pl.pallas_call(
             nop_kernel,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((16, 128), jnp.float32),
-        )(x)
+        )(x))
 
     timeit("no-op pallas launch", nop_launch, x)
 

@@ -89,9 +89,12 @@ class WideTables:
       the 6-term split-K expansion ([A1|A1|A1|A2|A2|A3] of the 3-way bf16
       split a = a1+a2+a3), so ONE default-precision MXU pass accumulates
       f32-faithful products (see _mxu_drain_loop).
-    leaf_pid [L*8] i32, leaf_nrm 3 x [L*8] f32: per (leaf row, slot) the
-      prim id and unnormalized geometric normal — gathered engine-side by
-      the winning hit id (hid = leaf_row*8 + slot) after traversal.
+    leaf_rec [L*8, 4] f32: per (leaf row, slot) the prim id (exact
+      int-valued f32, < 2^24) and unnormalized geometric normal — resolved
+      engine-side by the winning hit id (hid = leaf_row*8 + slot) after
+      traversal with ONE row gather.  (Separate pid/normal arrays cost 4
+      pool-width XLA gathers ~1.1 ms EACH on v5e — they were the entire
+      4 ms/launch mxu overhead, launch_floor.py.)
     """
 
     node_bounds: jax.Array
@@ -99,8 +102,7 @@ class WideTables:
     node_info: jax.Array
     leaf_tris: jax.Array
     leaf_amat: jax.Array | None = None
-    leaf_pid: jax.Array | None = None
-    leaf_nrm: tuple | None = None
+    leaf_rec: jax.Array | None = None
 
     @property
     def num_wide_nodes(self) -> int:
@@ -118,10 +120,7 @@ class WideTables:
                           node_info=jnp.asarray(self.node_info),
                           leaf_tris=jnp.asarray(self.leaf_tris),
                           leaf_amat=j(self.leaf_amat),
-                          leaf_pid=j(self.leaf_pid),
-                          leaf_nrm=(None if self.leaf_nrm is None else
-                                    tuple(jnp.asarray(c)
-                                          for c in self.leaf_nrm)))
+                          leaf_rec=j(self.leaf_rec))
 
 
 def _half_area(bmin, bmax):
@@ -273,7 +272,8 @@ def pack_leaf_amat(leaves, left_first, num_prims, p0, e1, e2, n_vec,
     expansion (see WideTables.leaf_amat).  Padded slots are all-zero rows:
     det = t = 0 fails `t_num > 0`, so they can never be accepted.
 
-    Returns ``(amat [L*32, 96] bf16, pid [L*8] i32, nrm 3 x [L*8] f32)``.
+    Returns ``(amat [L*32, 96] bf16, rec [L*8, 4] f32)`` where rec rows
+    are (prim id as exact f32, nx, ny, nz).
     """
     n_leaves = max(len(leaves), 1)
     p0 = np.asarray(p0, np.float64)
@@ -312,9 +312,11 @@ def pack_leaf_amat(leaves, left_first, num_prims, p0, e1, e2, n_vec,
     # zero tail pads K from 96 to AM_K=128 (HBM slice alignment)
     zpad = np.zeros((rows.shape[0], AM_K - 96), a1.dtype)
     amat = np.concatenate([a1, a1, a1, a2, a2, a3, zpad], axis=1)
-    return (amat, pid.reshape(-1),
-            tuple(np.ascontiguousarray(nrm.reshape(-1, 3)[:, k])
-                  for k in range(3)))
+    assert int(prim_ids.max(initial=0)) < (1 << 24), \
+        "prim ids must stay exact as f32 in leaf_rec"
+    rec = np.concatenate([pid.reshape(-1, 1).astype(np.float32),
+                          nrm.reshape(-1, 3)], axis=1)
+    return amat, rec
 
 
 def build_wide_tables(res: BuildResult, p0, e1, e2, n_vec,
@@ -339,9 +341,9 @@ def build_wide_tables(res: BuildResult, p0, e1, e2, n_vec,
     leaf_row_of = {g: i for i, g in enumerate(leaf_nodes)}
     leaf_tris = pack_leaf_rows(np.asarray(leaf_nodes, np.int64), left_first,
                                num_prims, p0, e1, e2, n_vec, prim_ids)
-    amat, lpid, lnrm = pack_leaf_amat(np.asarray(leaf_nodes, np.int64),
-                                      left_first, num_prims, p0, e1, e2,
-                                      n_vec, prim_ids)
+    amat, lrec = pack_leaf_amat(np.asarray(leaf_nodes, np.int64),
+                                left_first, num_prims, p0, e1, e2,
+                                n_vec, prim_ids)
 
     node_bounds = np.full((n_wide, 128), np.nan, np.float32)
     child_meta = np.zeros((n_wide, WIDTH), np.int32)
@@ -384,7 +386,7 @@ def build_wide_tables(res: BuildResult, p0, e1, e2, n_vec,
                      child_meta=child_meta.reshape(-1),
                      node_info=node_info,
                      leaf_tris=leaf_tris,
-                     leaf_amat=amat, leaf_pid=lpid, leaf_nrm=lnrm)
+                     leaf_amat=amat, leaf_rec=lrec)
     return out if as_numpy else out.device()
 
 
@@ -430,7 +432,9 @@ def _slab(b, inv, sc, tmax):
 
 def _hit_mask8(hits):
     """8 child-hit tiles -> one 8-bit scalar mask via 4 packed reductions
-    (two 16-bit count fields per int32; counts <= TILE < 2^15)."""
+    (two 16-bit count fields per int32; counts <= TILE < 2^15).  (A single
+    max-reduce of a per-lane bitmask would be cheaper but is WRONG: max
+    picks one lane's mask, it is not a per-bit OR across lanes.)"""
     mask = jnp.int32(0)
     for j in range(4):
         s = jnp.sum(hits[2 * j].astype(jnp.int32) * 32768
@@ -552,13 +556,15 @@ def _vmem_meta(nb_ref):
     return cm_at, info_read
 
 
-def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant):
+def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant, on_enqueue=None):
     """One branch-free step of one walk: slab 8 children of its cursor,
     queue leaf hits, descend/push/pop on the shared stack.
 
     An idle walk (cur == IDLE) executes the same vector code on node 0 with
     its hit mask forced to 0, then steals from the shared stack (pop path).
-    Returns (new_cur, new_sp, new_qn).
+    ``on_enqueue(q, meta)`` (optional) fires per queued leaf — the MXU
+    drain starts its A-block DMA here so HBM latency overlaps the rest of
+    the walk chunk.  Returns (new_cur, new_sp, new_qn).
     """
     nb_ref, cm_at, info_read, stack_ref, q_ref = refs
     active = cur != IDLE
@@ -581,7 +587,10 @@ def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant):
     # append leaf metas to the drain queue (scalar-only loop, trips 0..8)
     def q_body(c2):
         lh, q = c2
-        q_ref[q] = cm_node(_ctz(lh))
+        meta = cm_node(_ctz(lh))
+        q_ref[q] = meta
+        if on_enqueue is not None:
+            on_enqueue(q, meta)
         return lh & (lh - 1), q + 1
 
     _, qn = jax.lax.while_loop(lambda c2: c2[0] != 0, q_body,
@@ -632,15 +641,15 @@ def _never(_ds):
 
 
 def _run_walk(refs, inv, sc, octant, root, tmax, ds, drain_loop, stop_fn,
-              rounds, leafs):
+              rounds, leafs, on_enqueue=None):
     """Walk one (sub)tree to completion: alternate branch-free walk chunks
     with pipelined leaf-queue drains (module docstring, items 2-3).
 
     ``ds`` is an arbitrary drain-state pytree threaded through
     ``drain_loop(qn, tmax, ds) -> (tmax, ds)`` per filled queue;
     ``stop_fn(ds)`` aborts the walk early (the any-hit all-lanes-occluded
-    exit).  ``rounds``/``leafs`` are running work counters.  Returns
-    ``(rounds, leafs, tmax, ds)``.
+    exit).  ``rounds``/``leafs`` are running work counters; ``on_enqueue``
+    is forwarded to ``_walk_step``.  Returns ``(rounds, leafs, tmax, ds)``.
     """
     curs0 = (root,) + tuple(jnp.int32(IDLE) for _ in range(NUM_WALKS - 1))
 
@@ -661,7 +670,7 @@ def _run_walk(refs, inv, sc, octant, root, tmax, ds, drain_loop, stop_fn,
             new = []
             for w in range(NUM_WALKS):
                 cw, sp, qn = _walk_step(curs[w], sp, qn, tmax, refs, inv,
-                                        sc, octant)
+                                        sc, octant, on_enqueue)
                 new.append(cw)
             return tuple(new), sp, qn, rounds + 1
 
@@ -743,81 +752,96 @@ def _hbm_drain_loop(q_ref, lt_hbm, rowbuf, sems, drain_fn):
     return loop
 
 
-MXU_BUF = 4  # A-block group buffers in flight (DMA ring depth)
+MXU_BUF = 4  # (legacy ring depth; the drain now buffers one A-block per
+             # queue slot and DMAs start at enqueue time)
 
 
-def _build_f96(o, d):
-    """Per-tile split-K ray-feature matrix [AM_K, 2048] bf16.
+def _build_phi_xla(o, d):
+    """Split-K ray-feature matrices [n_tiles, AM_K, TILE] bf16, built by
+    XLA OUTSIDE the kernel and DMA'd in per tile.
 
     Rows are [F1;F2;F3;F1;F2;F1;0] of the 3-way bf16 split of the feature
     basis phi = [d, d x o, o, 1, 0*6] — the column-pair layout of
     pack_leaf_amat, so one default-precision MXU pass accumulates the 6
     significant term-pairs (exact bf16 products, f32 accumulation):
-    f32-faithful MT at bf16-dot cost (~153 ns/visit vs 363 VPU and 1104
-    precision=highest, benchmarks/micro_kernel.py leaf_mt_mxu_g*)."""
-    dxo = (d[1] * o[2] - d[2] * o[1],
-           d[2] * o[0] - d[0] * o[2],
-           d[0] * o[1] - d[1] * o[0])
-    ones = jnp.ones_like(o[0])
-    rows = [c.reshape(1, TILE)
-            for c in (d[0], d[1], d[2]) + dxo + (o[0], o[1], o[2], ones)]
-    rows += [jnp.zeros((1, TILE), jnp.float32)] * 6
-    F = jnp.concatenate(rows, axis=0)           # [16, 2048] f32
+    f32-faithful MT at bf16-dot cost.
+
+    The first cut built this [AM_K, TILE] matrix inside the kernel per
+    tile; Mosaic lowers the 16 [SUBLANES,128] -> [1, TILE] row relayouts
+    so poorly that an IDLE mxu launch cost 4x the VPU one (launch_floor.py:
+    5.26 ms vs 1.33 ms idle at 64 tiles — ~61 us/tile of pure fixed cost).
+    XLA builds all tiles' matrices in one fused pass (the [16,128] -> 2048
+    flatten is contiguous, not a transpose) and the kernel streams 512 KB
+    per tile from HBM instead (~1 us/tile at HBM bandwidth)."""
+    nt = o.shape[0]
+    of = o.reshape(nt, 3, TILE)
+    df = d.reshape(nt, 3, TILE)
+    ox, oy, oz = of[:, 0], of[:, 1], of[:, 2]
+    dx, dy, dz = df[:, 0], df[:, 1], df[:, 2]
+    rows = [dx, dy, dz,
+            dy * oz - dz * oy, dz * ox - dx * oz, dx * oy - dy * ox,
+            ox, oy, oz, jnp.ones_like(ox)]
+    F = jnp.stack(rows + [jnp.zeros_like(ox)] * 6, axis=1)  # [nt,16,TILE]
     f1 = F.astype(jnp.bfloat16)
     r = F - f1.astype(jnp.float32)
     f2 = r.astype(jnp.bfloat16)
     f3 = (r - f2.astype(jnp.float32)).astype(jnp.bfloat16)
-    zpad = jnp.zeros((AM_K - 96, TILE), jnp.bfloat16)
-    return jnp.concatenate([f1, f2, f3, f1, f2, f1, zpad], axis=0)
+    z = jnp.zeros((nt, AM_K - 96, TILE), jnp.bfloat16)
+    return jnp.concatenate([f1, f2, f3, f1, f2, f1, z], axis=1)
 
 
-def _mxu_drain_loop(q_ref, am_hbm, F96, gbuf, sems):
+def _mxu_dma(q_ref, am_hbm, gbuf, sems, q, meta=None):
+    """The A-block copy for queue slot ``q``: leaf row's [32, AM_K]
+    coefficient block HBM -> gbuf slot ``q``.  ``meta`` (the queue entry)
+    may be passed to skip the q_ref re-read at start time."""
+    if meta is None:
+        meta = q_ref[q]
+    return pltpu.make_async_copy(
+        am_hbm.at[pl.ds((meta >> 4) * AM_ROWS, AM_ROWS), :],
+        gbuf.at[pl.ds(q * AM_ROWS, AM_ROWS), :],
+        sems.at[q])
+
+
+def _mxu_drain_loop(q_ref, am_hbm, f_ref, gbuf, sems):
     """Drain the leaf queue in groups of MXU_GROUP leaves on the MXU.
 
-    One [128, 96] @ [96, 2048] matmul per group produces det/t_num/u_num/
-    v_num for all 32 (leaf, slot) pairs x 2048 lanes; the sign-flip accept
-    rule (u >= 0 etc as u_num*s >= 0 with s = sign(det)) reproduces the
-    reference accept exactly (triangle.cuh:39-58).  A-blocks stream from
-    HBM through a double-buffered ring (gbuf [MXU_BUF, 128, 96], one DMA
-    per leaf).  A short final group replicates its first entry — a
-    duplicated visit is idempotent (its winner equals best_t, and
-    ``improved`` is strict).
+    One [G*32, 128] @ [128, 2048] matmul per group produces det/t_num/
+    u_num/v_num for all G x 8 (leaf, slot) pairs x 2048 lanes; the
+    sign-flip accept rule (u >= 0 etc as u_num*s >= 0 with s = sign(det))
+    reproduces the reference accept exactly (triangle.cuh:39-58).
+
+    A-blocks are NOT fetched here: each slot's DMA started when the leaf
+    was enqueued (_walk_step on_enqueue -> _mxu_dma), so by drain time the
+    copies have overlapped the walk chunk and the per-group cost is G
+    semaphore waits + one matmul + one whole-group extraction.  (The
+    first cut re-fetched groups through a 4-deep ring per drain call; the
+    per-drain ring refill made it ~1.6x slower than the VPU drain at
+    system level despite a 2.4x/visit microbench win.)  A short final
+    group masks its stale tail rows out of the accept test (those slots
+    hold a previous drain cycle's blocks and have no DMA in flight).
 
     ds = (best_t [1, TILE] f32, best_hid [1, TILE] i32): best_t doubles as
-    the walk's pruning tmax (returned relayout to [SUBLANES, 128]); hid =
-    leaf_row * 8 + slot — prim id and normal are gathered engine-side from
-    leaf_pid/leaf_nrm, NOT extracted per visit (extraction of 2 payloads
-    keeps the drain at ~12 VPU ops per leaf row-block)."""
+    the walk's pruning tmax (relayout to [SUBLANES, 128] once per drain
+    call, after the group loop); hid = leaf_row * 8 + slot — prim id and
+    normal are resolved engine-side with one leaf_rec row gather, NOT
+    extracted per visit."""
     G = MXU_GROUP
-
-    def dma(gi, j, qn):
-        buf = gi % MXU_BUF
-        qi = jnp.minimum(gi * G + j, jnp.maximum(qn - 1, 0))
-        row = q_ref[qi] >> 4
-        return pltpu.make_async_copy(
-            am_hbm.at[pl.ds(row * AM_ROWS, AM_ROWS), :],
-            gbuf.at[buf, pl.ds(j * AM_ROWS, AM_ROWS), :],
-            sems.at[buf, j])
-
-    def start(gi, qn):
-        for j in range(G):
-            dma(gi, j, qn).start()
 
     def loop(qn, tmax, ds):
         ng = (qn + G - 1) // G
 
-        for b in range(MXU_BUF):  # fill the ring: groups 0..MXU_BUF-1
-            @pl.when(ng > b)
-            def _(b=b):
-                start(b, qn)
-
         def body(c2):
-            gi, _tm, (best_t, best_hid) = c2
-            buf = gi % MXU_BUF
+            gi, (best_t, best_hid) = c2
             for j in range(G):
-                dma(gi, j, qn).wait()
-            A = gbuf[buf]                       # [G*32, AM_K] bf16
-            out = jnp.dot(A, F96, preferred_element_type=jnp.float32)
+                @pl.when(gi * G + j < qn)
+                def _(j=j):
+                    _mxu_dma(q_ref, am_hbm, gbuf, sems, gi * G + j).wait()
+            A = gbuf[pl.ds(gi * G * AM_ROWS, G * AM_ROWS), :]  # [G*32, K]
+            # f_ref is read HERE, not hoisted to the tile body: a live
+            # [AM_K, TILE] bf16 value (128 vregs) across the whole tile
+            # loop wrecks Mosaic's register allocation — an IDLE mxu
+            # launch used to cost 4x the VPU one from that alone
+            out = jnp.dot(A, f_ref[:], preferred_element_type=jnp.float32)
             # ONE whole-group extraction (per-leaf [1, 2048] best-updates
             # measured ~2x slower: 1/8-utilization vreg ops + per-leaf
             # scalar sequencing — benchmarks/micro_kernel.py group variant).
@@ -833,6 +857,11 @@ def _mxu_drain_loop(q_ref, am_hbm, F96, gbuf, sems):
             bt = jnp.broadcast_to(best_t.reshape(1, 1, TILE), det.shape)
             h = (au >= 0.0) & (av >= 0.0) & (au + av <= adet) & \
                 (at_ > 0.0) & (at_ <= bt * adet)
+            # mask the short final group's stale tail (slots >= qn have no
+            # DMA in flight; their gbuf contents are a previous cycle's)
+            live = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0) \
+                < (qn - gi * G)
+            h = h & live
             tg = jnp.where(h, at_ / adet, BIG).reshape(G * MAX_LEAF, TILE)
             visit_t = jnp.min(tg, axis=0, keepdims=True)      # [1, 2048]
             rows_i = jax.lax.broadcasted_iota(jnp.int32, tg.shape, 0)
@@ -848,15 +877,13 @@ def _mxu_drain_loop(q_ref, am_hbm, F96, gbuf, sems):
             improved = visit_t < best_t
             best_t = jnp.where(improved, visit_t, best_t)
             best_hid = jnp.where(improved, hid, best_hid)
+            return gi + 1, (best_t, best_hid)
 
-            @pl.when(gi + MXU_BUF < ng)
-            def _():
-                start(gi + MXU_BUF, qn)
-            return (gi + 1, best_t.reshape(SUBLANES, 128),
-                    (best_t, best_hid))
-
-        _, tmax, ds = jax.lax.while_loop(lambda c2: c2[0] < ng, body,
-                                         (jnp.int32(0), tmax, ds))
+        _, ds = jax.lax.while_loop(lambda c2: c2[0] < ng, body,
+                                   (jnp.int32(0), ds))
+        # relayout [1, 2048] -> [SUBLANES, 128] ONCE per drain call (was
+        # per group) so the next walk chunk prunes on the tightened bound
+        tmax = jnp.where(ng > 0, ds[0].reshape(SUBLANES, 128), tmax)
         return tmax, ds
 
     return loop
@@ -913,7 +940,7 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
   bounds-row mirror lanes (see _vmem_meta).  With ``mxu_drain`` the leaf
   input is the HBM A-matrix table and drains run in MXU groups
   (_mxu_drain_loop); outputs are then (hit, t, hid, stats) — no normals
-  (engine gathers leaf_pid/leaf_nrm by hid)."""
+  (engine resolves them with one leaf_rec row gather)."""
 
   def kernel(*args):
     if meta_vmem:
@@ -924,7 +951,9 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
          *rest) = args
         cm_at, info_read = _smem_meta(cm_ref, ni_ref)
     if mxu_drain:
-        hit_ref, tout_ref, prim_ref, st_ref, stack_ref, q_ref, *dma = rest
+        phi_ref = rest[0]
+        hit_ref, tout_ref, prim_ref, st_ref, stack_ref, q_ref, *dma = \
+            rest[1:]
     else:
         (hit_ref, tout_ref, prim_ref, nx_ref, ny_ref, nz_ref,
          st_ref, stack_ref, q_ref, *dma) = rest
@@ -943,9 +972,14 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
       stack_ref[0] = 0
 
       refs = (nb_ref, cm_at, info_read, stack_ref, q_ref)
+      on_enq = None
       if mxu_drain:
-          F96 = _build_f96(o, d)
-          dloop = _mxu_drain_loop(q_ref, lt_ref, F96, dma[0], dma[1])
+          fcopy = pltpu.make_async_copy(phi_ref.at[ti], dma[2], dma[3])
+          fcopy.start()
+          fcopy.wait()
+          on_enq = lambda q, meta: _mxu_dma(q_ref, lt_ref, dma[0], dma[1],
+                                            q, meta).start()
+          dloop = _mxu_drain_loop(q_ref, lt_ref, dma[2], dma[0], dma[1])
           # best_t doubles as the pruning bound: capped at BIG so an
           # all-rejected visit (visit_t == BIG) can never "improve" an
           # inf initial tmax and report a phantom hit
@@ -963,7 +997,7 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
                  (jnp.zeros_like(tmax),) * 3)
       rounds, leafs, _, ds = _run_walk(
           refs, inv, sc, octant, jnp.where(any_valid, 0, IDLE), tmax, ds0,
-          dloop, _never, jnp.int32(0), jnp.int32(0))
+          dloop, _never, jnp.int32(0), jnp.int32(0), on_enqueue=on_enq)
       if mxu_drain:
           t = ds[0].reshape(SUBLANES, 128)
           prim = ds[1].reshape(SUBLANES, 128)
@@ -1100,8 +1134,7 @@ def concat_wide_tables(parts):
         lt.append(np.asarray(t.leaf_tris))
         if t.leaf_amat is not None:
             am.append(np.asarray(t.leaf_amat))
-            lp.append(np.asarray(t.leaf_pid))
-            ln.append(tuple(np.asarray(c) for c in t.leaf_nrm))
+            lp.append(np.asarray(t.leaf_rec))
         n_nodes += t.num_wide_nodes
         n_leaves += t.num_leaf_rows
     # MXU-drain companions concatenate by leaf row iff every part has them
@@ -1112,9 +1145,7 @@ def concat_wide_tables(parts):
         node_info=jnp.asarray(np.concatenate(ni)),
         leaf_tris=jnp.asarray(np.concatenate(lt)),
         leaf_amat=jnp.asarray(np.concatenate(am)) if has_am else None,
-        leaf_pid=jnp.asarray(np.concatenate(lp)) if has_am else None,
-        leaf_nrm=(tuple(jnp.asarray(np.concatenate([t[k] for t in ln]))
-                        for k in range(3)) if has_am else None),
+        leaf_rec=jnp.asarray(np.concatenate(lp)) if has_am else None,
     )
     return tables, node_off, leaf_off
 
@@ -1374,8 +1405,13 @@ def _scratch(leaf_hbm: bool = False, mxu_drain: bool = False):
     s = [pltpu.SMEM((STACK_SIZE,), jnp.int32),
          pltpu.SMEM((Q_ALLOC,), jnp.int32)]
     if mxu_drain:
-        s += [pltpu.VMEM((MXU_BUF, MXU_GROUP * AM_ROWS, AM_K), jnp.bfloat16),
-              pltpu.SemaphoreType.DMA((MXU_BUF, MXU_GROUP))]
+        # one A-block slot per queue entry: DMAs start at enqueue time and
+        # land while the walk chunk continues (48 slots x 8 KB = 384 KB);
+        # plus the per-tile feature-matrix buffer (512 KB) + its semaphore
+        s += [pltpu.VMEM((Q_ALLOC * AM_ROWS, AM_K), jnp.bfloat16),
+              pltpu.SemaphoreType.DMA((Q_ALLOC,)),
+              pltpu.VMEM((AM_K, TILE), jnp.bfloat16),
+              pltpu.SemaphoreType.DMA]
     elif leaf_hbm:
         s += [pltpu.VMEM((DMA_DEPTH, 1, 128), jnp.float32),
               pltpu.SemaphoreType.DMA((DMA_DEPTH,))]
@@ -1407,7 +1443,7 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
     ``mxu_drain`` runs leaf drains as MXU group matmuls against the
     split-K A-matrix table (requires ``tables.leaf_amat``; implies the
     leaf table lives in HBM); prim ids and normals are gathered from
-    ``leaf_pid``/``leaf_nrm`` by the winning (leaf row, slot) id after
+    ``leaf_rec`` by the winning (leaf row, slot) id after
     the kernel, so the traversal loop carries only (t, hid).
     """
     as_v3 = isinstance(origin, tuple)
@@ -1436,6 +1472,9 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
                     leaf_spec]
         ins = (o, d, tm, act, tables.node_info, tables.child_meta,
                tables.node_bounds, leaf_in)
+    if mxu_drain:
+        in_specs = in_specs + [_HBM]
+        ins = ins + (_build_phi_xla(o, d),)
     n_out = 4 if mxu_drain else 7
     out_shape = [jax.ShapeDtypeStruct(shp, jnp.int32),
                  jax.ShapeDtypeStruct(shp, jnp.float32),
@@ -1461,8 +1500,11 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
         hit, t, hid, st = outs
         hit = flat(hit) != 0
         hid = jnp.maximum(flat(hid), 0)
-        prim = jnp.where(hit, tables.leaf_pid[hid], -1)
-        normal = tuple(jnp.where(hit, c[hid], 0.0) for c in tables.leaf_nrm)
+        # ONE pool-width row gather resolves (prim, normal); separate
+        # arrays cost 4 gathers ~1.1 ms each (the 4 ms mxu launch overhead)
+        rec = tables.leaf_rec[hid]
+        prim = jnp.where(hit, rec[:, 0].astype(jnp.int32), -1)
+        normal = tuple(jnp.where(hit, rec[:, 1 + k], 0.0) for k in range(3))
     else:
         hit, t, prim, nx, ny, nz, st = outs
         hit = flat(hit) != 0

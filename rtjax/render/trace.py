@@ -53,11 +53,15 @@ def _warn_blas_fallback(mesh_id):
 
 def _use_mxu(cfg, mode, interp):
     """Static decision: run closest-hit leaf drains on the MXU?  Auto
-    currently resolves to OFF: at system level the group drain measured
-    ~1.6x slower than the VPU drain on the bunny (fixed per-group costs
-    dominate the small queues — benchmarks/mxu_drain_bench.py), despite
-    the 2.4x/visit microbench win.  A bool in the config forces either
-    way (the parity test forces True under interpret)."""
+    currently resolves to OFF.  Round-3 launch_floor.py bisect: after
+    enqueue-time A-block DMA, XLA-side feature build, and collapsing the
+    4 post-kernel gathers to one leaf_rec row gather, the MXU drain's
+    per-VISIT cost beats the VPU drain (~3.0 vs ~3.4 ms work on the
+    2^17-ray bunny launch) but the remaining pool-width gather costs
+    ~1.2 ms per LAUNCH, which nets out to ~neutral at bunny visit counts.
+    Worth forcing on for visit-heavy workloads (big scenes, incoherent
+    pools); a bool in the config forces either way (the parity test
+    forces True under interpret)."""
     mxu = getattr(cfg, "mxu_drain", None)
     if mxu is None:
         return False
