@@ -91,6 +91,18 @@ def main():
         return jnp.sum(x)
 
     timeit("multi-payload sort (keys+11 col)", full_sort, o, d, mask, bundle)
+
+    # sort cost scaling in operand count (the engine sorts ~21 columns)
+    for ncols in (2, 6, 21):
+        cols = tuple(r + i for i in range(ncols))
+
+        @jax.jit
+        def sort_n(o, d, mask, cols):
+            keys = ray_sort_keys(o, d, jnp.zeros(3), jnp.ones(3), mask)
+            out = jax.lax.sort((keys,) + cols, num_keys=1, is_stable=True)
+            return sum(jnp.sum(c) for c in out[1:])
+
+        timeit(f"sort keys+{ncols} f32 cols", sort_n, o, d, mask, cols)
     timeit("sort keys only", keys_only, o, d, mask)
     timeit("rng uniform_block 16 sites", rng_sweep, key)
     timeit("fb scatter-add", fb_scatter, fb, pix, o, mask)
