@@ -27,9 +27,13 @@ def build_bvh_best(bmin, bmax, centers=None, max_depth=30,
             return build_bvh_cpp(bmin, bmax, centers, max_depth=max_depth,
                                  max_leaf_size=max_leaf_size,
                                  min_leaf_size=min_leaf_size)
-        except Exception:
+        except Exception as e:
             if which == "cpp":
                 raise
+            from ..utils.log import logger
+            logger.warning("C++ BVH builder unavailable (%s); falling back "
+                           "to the NumPy builder — expect slow builds on "
+                           "million-triangle scenes", e)
     return build_bvh_np(np.asarray(bmin), np.asarray(bmax),
                         None if centers is None else np.asarray(centers),
                         max_depth=max_depth, max_leaf_size=max_leaf_size,

@@ -67,13 +67,20 @@ SMEM_META_CAP = 768 << 10  # child_meta+node_info bytes that may live in SMEM
 
 # ============================================================ host-side build
 
-@jax.tree_util.register_dataclass
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["node_bounds", "child_meta", "node_info", "leaf_tris",
+                      "leaf_amat", "leaf_rec"],
+         meta_fields=["packed_nodes", "n_nodes"])
 @dataclasses.dataclass(frozen=True)
 class WideTables:
     """Device tables for the wide packet kernel.
 
     node_bounds [M, 128] f32: child c's (bmin, bmax) at lanes [6c, 6c+6);
       empty slots are NaN boxes (every slab comparison is false).
+      With ``packed_nodes`` the rows hold TWO nodes each (node n at row
+      n >> 1, lane offset (n & 1) * 64 — a node's used lanes stop at 56),
+      halving the node-row VMEM so scenes to ~4M tris keep the Pallas
+      path; the kernel selects the half with one dynamic lane roll.
     child_meta [M * 8] i32 (SMEM): (value << 4) | count; count > 0 => leaf
       (value = leaf row), count == 0 => internal (value = wide node index).
     node_info [M] i32 (SMEM): (axis << 8) | leaf_mask — axis = dominant
@@ -103,10 +110,12 @@ class WideTables:
     leaf_tris: jax.Array
     leaf_amat: jax.Array | None = None
     leaf_rec: jax.Array | None = None
+    packed_nodes: bool = False  # static: two nodes per bounds row
+    n_nodes: int = -1           # static: node count when packed (rows != nodes)
 
     @property
     def num_wide_nodes(self) -> int:
-        return self.node_bounds.shape[0]
+        return self.n_nodes if self.packed_nodes else self.node_bounds.shape[0]
 
     @property
     def num_leaf_rows(self) -> int:
@@ -120,7 +129,28 @@ class WideTables:
                           node_info=jnp.asarray(self.node_info),
                           leaf_tris=jnp.asarray(self.leaf_tris),
                           leaf_amat=j(self.leaf_amat),
-                          leaf_rec=j(self.leaf_rec))
+                          leaf_rec=j(self.leaf_rec),
+                          packed_nodes=self.packed_nodes,
+                          n_nodes=self.n_nodes)
+
+
+def pack_node_rows(tables: WideTables) -> WideTables:
+    """Two-nodes-per-row packing of the bounds table (host-side).
+
+    A node uses lanes 0..56 of its 128-lane row (48 bounds + 8 meta
+    mirrors + info); packing node 2r+1 into lanes 64..120 of row r halves
+    node-row VMEM, which is the single-BLAS scene-size ceiling (the ~60 MB
+    node budget capped scenes at ~2M triangles; packed rows double that).
+    """
+    assert not tables.packed_nodes
+    nb = np.asarray(tables.node_bounds)
+    m = nb.shape[0]
+    m2 = (m + 1) // 2
+    out = np.full((m2, 128), np.nan, np.float32)
+    out[:, :64] = nb[0::2, :64]
+    out[: m // 2, 64:] = nb[1::2, :64]
+    return dataclasses.replace(tables, node_bounds=out, packed_nodes=True,
+                               n_nodes=m)
 
 
 def _half_area(bmin, bmax):
@@ -246,14 +276,29 @@ def _split3_bf16(x):
     """3-way bf16 split: x ~= a1 + a2 + a3 with each term exactly
     representable in bf16, capturing ~24 mantissa bits (f32-faithful).
     Products a_i * b_j of two such splits are exact in f32, so an MXU
-    bf16 pass accumulating them in f32 matches precision=highest."""
+    bf16 pass accumulating them in f32 matches precision=highest.
+
+    Implemented as mantissa TRUNCATION via integer masking (sign
+    preserved): each residual is exactly representable in f32, so the
+    three terms still sum to x within 2^-24 relative — and it runs as
+    SIMD integer ops instead of ml_dtypes scalar casts, which dominated
+    the whole wide-table build (255 of 278 s at 1M tris)."""
     import ml_dtypes
     bf = ml_dtypes.bfloat16
-    a1 = x.astype(bf)
-    r = x - a1.astype(np.float64)
-    a2 = r.astype(bf)
-    a3 = (r - a2.astype(np.float64)).astype(bf)
-    return a1, a2, a3
+
+    def trunc(v):
+        return (v.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32)
+
+    def to_bf16(v):
+        return (v.view(np.uint32) >> 16).astype(np.uint16).view(bf)
+
+    x32 = np.ascontiguousarray(x, np.float32)
+    a1 = trunc(x32)
+    r = x32 - a1
+    a2 = trunc(r)
+    r2 = r - a2
+    a3 = trunc(r2)
+    return to_bf16(a1), to_bf16(a2), to_bf16(a3)
 
 
 def pack_leaf_amat(leaves, left_first, num_prims, p0, e1, e2, n_vec,
@@ -319,8 +364,14 @@ def pack_leaf_amat(leaves, left_first, num_prims, p0, e1, e2, n_vec,
     return amat, rec
 
 
+AMAT_LEAF_CAP = 1 << 17  # build MXU A-matrices only up to ~1M tris: the
+                         # table is 8 KB/leaf (a 4M-tri scene would host-
+                         # build and ship 4 GB for an OPT-IN drain mode)
+
+
 def build_wide_tables(res: BuildResult, p0, e1, e2, n_vec,
-                      prim_ids=None, as_numpy=False) -> WideTables:
+                      prim_ids=None, as_numpy=False,
+                      with_amat: bool | None = None) -> WideTables:
     """Collapse a binary BuildResult + leaf-ordered triangles into wide
     kernel tables.
 
@@ -341,9 +392,14 @@ def build_wide_tables(res: BuildResult, p0, e1, e2, n_vec,
     leaf_row_of = {g: i for i, g in enumerate(leaf_nodes)}
     leaf_tris = pack_leaf_rows(np.asarray(leaf_nodes, np.int64), left_first,
                                num_prims, p0, e1, e2, n_vec, prim_ids)
-    amat, lrec = pack_leaf_amat(np.asarray(leaf_nodes, np.int64),
-                                left_first, num_prims, p0, e1, e2,
-                                n_vec, prim_ids)
+    if with_amat is None:
+        with_amat = len(leaf_nodes) <= AMAT_LEAF_CAP
+    if with_amat:
+        amat, lrec = pack_leaf_amat(np.asarray(leaf_nodes, np.int64),
+                                    left_first, num_prims, p0, e1, e2,
+                                    n_vec, prim_ids)
+    else:
+        amat = lrec = None
 
     node_bounds = np.full((n_wide, 128), np.nan, np.float32)
     child_meta = np.zeros((n_wide, WIDTH), np.int32)
@@ -529,18 +585,31 @@ def _smem_meta(cm_ref, ni_ref):
     return cm_at, info_read
 
 
-def _vmem_meta(nb_ref):
+def _vmem_meta(nb_ref, packed=False):
     """Meta accessors over the bounds-row mirror lanes (big-scene path).
 
     Scalar VMEM loads need STATIC lane indices (Mosaic), so a node's 8
     child metas are loaded up front from lanes META_BASE..+7 and a dynamic
     child pick becomes a select chain.  Frees SMEM of all per-node data —
     the scene size cap moves from ~1 MB SMEM to the VMEM node-row budget.
+
+    With ``packed`` rows (two nodes per row) the half offset is dynamic
+    but lanes must be static: load BOTH halves' lanes and select by the
+    node's parity (16 loads + 8 selects instead of 8 loads).
     """
 
     def cm_at(node):
-        ms = [nb_ref[node, META_BASE + c].astype(jnp.int32)
-              for c in range(WIDTH)]
+        if packed:
+            r = node >> 1
+            lo = [nb_ref[r, META_BASE + c].astype(jnp.int32)
+                  for c in range(WIDTH)]
+            hi = [nb_ref[r, 64 + META_BASE + c].astype(jnp.int32)
+                  for c in range(WIDTH)]
+            odd = (node & 1) != 0
+            ms = [jnp.where(odd, h, l) for l, h in zip(lo, hi)]
+        else:
+            ms = [nb_ref[node, META_BASE + c].astype(jnp.int32)
+                  for c in range(WIDTH)]
 
         def read(c):
             v = ms[WIDTH - 1]
@@ -551,9 +620,30 @@ def _vmem_meta(nb_ref):
         return read
 
     def info_read(node):
+        if packed:
+            r = node >> 1
+            return jnp.where((node & 1) != 0,
+                             nb_ref[r, 64 + INFO_LANE].astype(jnp.int32),
+                             nb_ref[r, INFO_LANE].astype(jnp.int32))
         return nb_ref[node, INFO_LANE].astype(jnp.int32)
 
     return cm_at, info_read
+
+
+def _node_row(nb_ref, packed=False):
+    """Bounds-row loader: node -> its 48 bound lanes broadcast to a
+    [SUBLANES, 128] tile.  Packed rows select the node's half with one
+    dynamic lane roll (pltpu.roll) so every downstream lane index stays
+    static."""
+
+    def row_at(node):
+        if packed:
+            r = jnp.broadcast_to(nb_ref[pl.ds(node >> 1, 1), :],
+                                 (SUBLANES, 128))
+            return pltpu.roll(r, -(node & 1) * 64, axis=1)
+        return jnp.broadcast_to(nb_ref[pl.ds(node, 1), :], (SUBLANES, 128))
+
+    return row_at
 
 
 def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant, on_enqueue=None):
@@ -566,12 +656,11 @@ def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant, on_enqueue=None):
     drain starts its A-block DMA here so HBM latency overlaps the rest of
     the walk chunk.  Returns (new_cur, new_sp, new_qn).
     """
-    nb_ref, cm_at, info_read, stack_ref, q_ref = refs
+    row_at, cm_at, info_read, stack_ref, q_ref = refs
     active = cur != IDLE
     node = jnp.maximum(cur, 0)
 
-    row = nb_ref[pl.ds(node, 1), :]
-    row_b = jnp.broadcast_to(row, (SUBLANES, 128))
+    row_b = row_at(node)
     b = _bcast_lanes(row_b, range(6 * WIDTH))
     hits = [_slab(b[6 * c:6 * c + 6], inv, sc, tmax) for c in range(WIDTH)]
     mask = jnp.where(active, _hit_mask8(hits), 0)
@@ -926,7 +1015,8 @@ def _anyhit_drain(o, d, exclude):
 
 
 def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
-                         mxu_drain: bool = False):
+                         mxu_drain: bool = False,
+                         packed_nodes: bool = False):
   """Wide closest-hit kernel: in-kernel tile loop (tables DMA'd once), per
   tile an outer loop alternating walk chunks and leaf-queue drains.
 
@@ -945,11 +1035,12 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
   def kernel(*args):
     if meta_vmem:
         o_ref, d_ref, t_ref, act_ref, nb_ref, lt_ref, *rest = args
-        cm_at, info_read = _vmem_meta(nb_ref)
+        cm_at, info_read = _vmem_meta(nb_ref, packed_nodes)
     else:
         (o_ref, d_ref, t_ref, act_ref, ni_ref, cm_ref, nb_ref, lt_ref,
          *rest) = args
         cm_at, info_read = _smem_meta(cm_ref, ni_ref)
+    row_at = _node_row(nb_ref, packed_nodes)
     if mxu_drain:
         phi_ref = rest[0]
         hit_ref, tout_ref, prim_ref, st_ref, stack_ref, q_ref, *dma = \
@@ -971,7 +1062,7 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
       # an out-of-bounds scalar load => device fault)
       stack_ref[0] = 0
 
-      refs = (nb_ref, cm_at, info_read, stack_ref, q_ref)
+      refs = (row_at, cm_at, info_read, stack_ref, q_ref)
       on_enq = None
       if mxu_drain:
           fcopy = pltpu.make_async_copy(phi_ref.at[ti], dma[2], dma[3])
@@ -1020,18 +1111,20 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
   return kernel
 
 
-def _make_anyhit_kernel(leaf_hbm: bool, meta_vmem: bool = False):
+def _make_anyhit_kernel(leaf_hbm: bool, meta_vmem: bool = False,
+                        packed_nodes: bool = False):
   """Wide any-hit kernel with excluded prim id; early exit once every valid
   lane is occluded (bvh.cuh:318,328).  See _make_closest_kernel."""
 
   def kernel(*args):
     if meta_vmem:
         o_ref, d_ref, t_ref, act_ref, ex_ref, nb_ref, lt_ref, *rest = args
-        cm_at, info_read = _vmem_meta(nb_ref)
+        cm_at, info_read = _vmem_meta(nb_ref, packed_nodes)
     else:
         (o_ref, d_ref, t_ref, act_ref, ex_ref, ni_ref, cm_ref, nb_ref,
          lt_ref, *rest) = args
         cm_at, info_read = _smem_meta(cm_ref, ni_ref)
+    row_at = _node_row(nb_ref, packed_nodes)
     occ_ref, st_ref, stack_ref, q_ref, *dma = rest
     n_tiles = occ_ref.shape[0]
 
@@ -1044,7 +1137,7 @@ def _make_anyhit_kernel(leaf_hbm: bool, meta_vmem: bool = False):
 
       stack_ref[0] = 0  # see _make_closest_kernel: speculative pop reads it
 
-      refs = (nb_ref, cm_at, info_read, stack_ref, q_ref)
+      refs = (row_at, cm_at, info_read, stack_ref, q_ref)
       drain_fn = _anyhit_drain(o, d, exclude)
       if leaf_hbm:
           dloop = _hbm_drain_loop(q_ref, lt_ref, dma[0], dma[1], drain_fn)
@@ -1106,6 +1199,8 @@ def concat_wide_tables(parts):
     empty slots (0) stay 0 — they are never dereferenced (NaN boxes never
     hit the slab test).
     """
+    assert all(not t.packed_nodes for t in parts), \
+        "concat_wide_tables needs unpacked node rows (pack last)"
     node_off, leaf_off = [], []
     nb, cm, ni, lt, am, lp, ln = [], [], [], [], [], [], []
     n_nodes = n_leaves = 0
@@ -1256,7 +1351,7 @@ def _make_closest_inst_kernel(meta_vmem: bool = False):
       valid = act_ref[ti] != 0
       tmax = jnp.where(valid, t_ref[ti], -BIG)
       stack_ref[0] = 0  # speculative pop reads slot 0 (_make_closest_kernel)
-      refs = (nb_ref, cm_at, info_read, stack_ref, q_ref)
+      refs = (_node_row(nb_ref), cm_at, info_read, stack_ref, q_ref)
 
       inv_w, sc_w, _ = _world_slab_pre(o_w, d_w)
 
@@ -1326,7 +1421,7 @@ def _make_anyhit_inst_kernel(meta_vmem: bool = False):
       exclude = ex_ref[ti]
       tmax_all = jnp.where(valid, t_ref[ti], -BIG)
       stack_ref[0] = 0
-      refs = (nb_ref, cm_at, info_read, stack_ref, q_ref)
+      refs = (_node_row(nb_ref), cm_at, info_read, stack_ref, q_ref)
 
       inv_w, sc_w, _ = _world_slab_pre(o_w, d_w)
       stop = lambda occ: jnp.all((occ != 0) | ~valid)
@@ -1483,7 +1578,8 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
         out_shape += [jax.ShapeDtypeStruct(shp, jnp.float32)] * 3
     out_shape += [jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32)]
     outs = pl.pallas_call(
-        _make_closest_kernel(leaf_hbm, meta_vmem, mxu_drain),
+        _make_closest_kernel(leaf_hbm, meta_vmem, mxu_drain,
+                             tables.packed_nodes),
         in_specs=in_specs,
         out_specs=[_VMEM] * (n_out - 1) + [_SMEM],
         out_shape=out_shape,
@@ -1548,7 +1644,7 @@ def wide_traverse_anyhit(tables: WideTables, origin, direction, tmax,
         ins = (o, d, tm, act, ex, tables.node_info, tables.child_meta,
                tables.node_bounds, tables.leaf_tris)
     occ, st = pl.pallas_call(
-        _make_anyhit_kernel(leaf_hbm, meta_vmem),
+        _make_anyhit_kernel(leaf_hbm, meta_vmem, tables.packed_nodes),
         in_specs=in_specs,
         out_specs=[_VMEM, _SMEM],
         out_shape=[jax.ShapeDtypeStruct((n_tiles, SUBLANES, 128), jnp.int32),

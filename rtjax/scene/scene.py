@@ -68,6 +68,12 @@ class Scene:
                               # lanes instead (pallas_wide._vmem_meta)
 
 
+# packet-kernel residency budgets (bytes); module-level so tests can
+# shrink them to exercise the big-scene tiers on small scenes
+NODE_VMEM_BUDGET = 60 << 20   # node rows resident in VMEM
+TABLE_VMEM_BUDGET = 100 << 20  # nodes + leaves resident in VMEM
+
+
 class SceneBuilder:
     """Host-side scene assembly with the reference factory API.
 
@@ -251,12 +257,17 @@ class SceneBuilder:
         #   2. leaf table > VMEM budget -> leaf rows stream from HBM
         #      (leaf_hbm); node meta > SMEM budget -> meta moves to mirror
         #      lanes of the VMEM bounds rows (meta_vmem)
-        #   3. node rows alone > VMEM budget -> XLA traversal fallback
+        #   3. node rows alone > VMEM budget -> TWO nodes per bounds row
+        #      (packed_nodes; the kernel selects the half with a dynamic
+        #      lane roll), doubling the ceiling to ~4M tris
+        #   4. packed node rows still > VMEM budget -> XLA traversal
+        #      fallback
         est_node_rows = res.num_nodes // 8 + 16
-        nodes_fit = est_node_rows * 512 < (60 << 20)
+        nodes_fit = est_node_rows * 512 < 2 * NODE_VMEM_BUDGET
         if max_leaf_size is not None and max_leaf_size <= 8 and nodes_fit:
             from ..kernels.pallas_wide import (SMEM_META_CAP,
-                                               build_wide_tables)
+                                               build_wide_tables,
+                                               pack_node_rows)
             pp0, pp1, pp2 = p0[perm], p1[perm], p2[perm]
             te1 = pp0 - pp1
             te2 = pp2 - pp0
@@ -266,16 +277,20 @@ class SceneBuilder:
             leaf_bytes = tables.num_leaf_rows * 512
             smem_bytes = (tables.child_meta.size
                           + tables.node_info.size) * 4
-            if node_bytes >= (60 << 20):
+            if node_bytes >= NODE_VMEM_BUDGET:
+                tables = pack_node_rows(tables)
+                node_bytes //= 2
+            if node_bytes >= NODE_VMEM_BUDGET:
                 tables = None
             else:
-                leaf_hbm = node_bytes + leaf_bytes >= (100 << 20)
+                leaf_hbm = node_bytes + leaf_bytes >= TABLE_VMEM_BUDGET
                 meta_vmem = smem_bytes >= SMEM_META_CAP
 
         instances, blas, blas_np = self._build_instances(
             max_depth, max_leaf_size, min_leaf_size, builder)
         inst_tables = None
-        if instances is not None and tables is not None and not leaf_hbm:
+        if instances is not None and tables is not None and not leaf_hbm \
+                and not tables.packed_nodes:
             from ..kernels.pallas_wide import build_instanced_tables
             inst_tables = build_instanced_tables(
                 tables, bmin.min(0), bmax.max(0), blas_np, instances)

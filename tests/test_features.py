@@ -145,3 +145,48 @@ def test_cli_renders(tmp_path):
     from rtjax.render.film import read_ppm
     img = read_ppm(out)
     assert img.shape == (16, 16, 3)
+
+
+def test_packed_node_tier_selected(monkeypatch):
+    """When node rows exceed the VMEM budget the build packs two nodes per
+    row (and only falls to the XLA path when even packed rows don't fit)."""
+    import rtjax.scene.scene as scene_mod
+    from rtjax import Camera, RenderConfig, SceneBuilder
+    from conftest import random_triangles
+
+    def build():
+        b = SceneBuilder()
+        rng_ = np.random.default_rng(3)
+        p0, p1, p2 = random_triangles(rng_, 4000)
+        b.add_triangles(p0, p1, p2, b.make_matte((0.6, 0.6, 0.6)))
+        b.add_area_light((-0.3, 1.9, -0.3), (0.3, 1.9, -0.3),
+                         (0.0, 1.9, 0.3), (6.0, 6.0, 6.0),
+                         b.make_matte((0.0, 0.0, 0.0)))
+        return b.build()
+
+    # normal budget: stays unpacked
+    sc = build()
+    assert sc.tables is not None and not sc.tables.packed_nodes
+    node_bytes = sc.tables.num_wide_nodes * 512
+
+    # budget between packed and unpacked size -> the packed tier triggers
+    monkeypatch.setattr(scene_mod, "NODE_VMEM_BUDGET", node_bytes)
+    monkeypatch.setattr(scene_mod, "TABLE_VMEM_BUDGET", node_bytes)
+    sc2 = build()
+    assert sc2.tables is not None and sc2.tables.packed_nodes
+    assert sc2.tables.num_wide_nodes == sc.tables.num_wide_nodes
+    assert sc2.leaf_hbm  # nodes+leaves exceed the shrunken table budget
+
+    # even packed rows over budget -> XLA fallback (tables dropped)
+    monkeypatch.setattr(scene_mod, "NODE_VMEM_BUDGET", 512)
+    assert build().tables is None
+
+    # a tiny frame still renders identically through the packed tables
+    import jax
+    from rtjax.render import render_frame
+    cam = Camera.make((0, 1, 4), (0, 1, 0), (0, 1, 0), 40, 1.0)
+    cfg = RenderConfig(width=16, height=16, num_samples=4, max_bounces=3,
+                       num_working_paths=2048)
+    fb, _ = render_frame(sc2, cam, cfg, jax.random.key(0))
+    fb_ref, _ = render_frame(sc, cam, cfg, jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(fb_ref))

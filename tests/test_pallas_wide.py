@@ -246,3 +246,36 @@ def test_meta_vmem_matches_smem():
                               interpret=interp, meta_vmem=True,
                               leaf_hbm=True)
     np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+
+
+def test_packed_nodes_match_unpacked(packed_scene):
+    """Two-nodes-per-row packing (the big-scene node tier) must be exactly
+    equivalent: same hits, t, prims, normals and occlusion, in both the
+    SMEM-meta and mirror-lane (meta_vmem) modes."""
+    from rtjax.kernels.pallas_wide import pack_node_rows
+
+    res, ptris, tables = packed_scene
+    packed = pack_node_rows(tables)
+    assert packed.num_wide_nodes == tables.num_wide_nodes
+    assert packed.node_bounds.shape[0] == \
+        (tables.node_bounds.shape[0] + 1) // 2
+
+    n = 2048 + 512
+    o, d = _rays(n, seed=21)
+    tmax = jnp.full(n, jnp.inf)
+    active = jnp.asarray(np.random.default_rng(7).random(n) > 0.1)
+
+    ref = wide_traverse_closest(tables, o, d, tmax, active, interpret=True)
+    for meta_vmem in (False, True):
+        out = wide_traverse_closest(packed, o, d, tmax, active,
+                                    interpret=True, meta_vmem=meta_vmem)
+        for a, b in zip(ref[:3], out[:3]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(out[3]))
+
+    exclude = jnp.full(n, -1, jnp.int32)
+    occ_ref = wide_traverse_anyhit(tables, o, d, jnp.full(n, 2.0), exclude,
+                                   active, interpret=True)
+    occ = wide_traverse_anyhit(packed, o, d, jnp.full(n, 2.0), exclude,
+                               active, interpret=True, meta_vmem=True)
+    np.testing.assert_array_equal(np.asarray(occ_ref), np.asarray(occ))
