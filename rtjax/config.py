@@ -40,6 +40,15 @@ class RenderConfig:
     # bounce packets from one surface patch share BVH paths regardless of
     # direction, so position-major packs them into one tile.
     sort_key: str = "morton_pos"
+    # camera-ray generation order: "blocked" hands regenerated slots sample
+    # ids in 16x16-pixel screen blocks, so primary-ray packet tiles cover
+    # compact screen areas instead of full-width scanline bands; "scan"
+    # keeps raw pixel-major order.  "auto" picks blocked when one 2048-ray
+    # tile spans >= 128 pixels (spp <= 16) — at higher spp tiles are
+    # sub-block already and the rank->pixel gather (~1 ms/iteration at
+    # pool width) outweighs the locality win.  Image expectation is
+    # identical either way — only the sample->slot schedule changes.
+    camera_order: str = "auto"
     # upper bound on wavefront iterations (safety net for the while_loop);
     # None derives it from the workload.
     max_iterations: int | None = None

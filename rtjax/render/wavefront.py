@@ -134,6 +134,22 @@ def make_initial_state(n: int) -> PathState:
     )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _blocked_pixel_order(width: int, height: int, block: int = 16):
+    """Permutation rank -> pixel index visiting the screen in 16x16 blocks
+    (row-major blocks, row-major within; ragged edge blocks included).
+    Host numpy, cached per (W, H); becomes a jit constant."""
+    import numpy as np
+    y, x = np.mgrid[0:height, 0:width]
+    nbx = (width + block - 1) // block
+    key = (((y // block) * nbx + (x // block)) * (block * block)
+           + (y % block) * block + (x % block))
+    return np.argsort(key.ravel(), kind="stable").astype(np.int32)
+
+
 def _accum(acc, value, mask):
     """Per-slot radiance accumulation (component triples).
 
@@ -382,10 +398,31 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         chs_mask, chs_tgt, chs_t = sh["chs_mask"], sh["chs_tgt"], sh["chs_t"]
 
     # ---- gen: refill dead slots with camera rays (render.cuh:250-275) -----
-    gen_rank = jnp.cumsum(gen_mask) - gen_mask  # exclusive prefix sum
+    if state_sorted and not cfg.reference_parity:
+        # after the sort the continuing lanes are EXACTLY the prefix (dead
+        # lanes all carry the max key), so the exclusive prefix sum over
+        # gen_mask is plain arithmetic — drops a full-pool-width cumsum
+        # (log-passes) from every iteration.  Parity mode keeps the cumsum:
+        # limbo lanes sit interleaved with dead lanes in the suffix.
+        num_mat_g = jnp.sum(mat_mask).astype(jnp.int32)
+        gen_rank = jnp.maximum(
+            jnp.arange(n, dtype=jnp.int32) - num_mat_g, 0)
+    else:
+        gen_rank = jnp.cumsum(gen_mask) - gen_mask  # exclusive prefix sum
     cam_id = cam_start + gen_rank.astype(jnp.int32)
     got_ray = gen_mask & (cam_id < cam_end)
-    pix_new = cam_id // cfg.num_samples  # pixel-major sample ids
+    pix_rank = jnp.minimum(cam_id // cfg.num_samples, cfg.num_pixels - 1)
+    blocked = (cfg.camera_order == "blocked"
+               or (cfg.camera_order == "auto" and cfg.num_samples <= 16))
+    if blocked:
+        # rank -> pixel through a 16x16-block permutation (host-built
+        # constant): consecutive sample ids map to compact screen blocks,
+        # so a packet tile of fresh camera rays traverses one screen
+        # region instead of a full-width scanline band
+        pix_new = jnp.asarray(_blocked_pixel_order(cfg.width,
+                                                   cfg.height))[pix_rank]
+    else:
+        pix_new = pix_rank  # raw pixel-major sample ids
     ci = (pix_new % cfg.width).astype(jnp.float32)
     cj = (pix_new // cfg.width).astype(jnp.float32)
     cam_o, cam_d = camera.get_rays_v3((ci + draw(_S_GEN)) / cfg.width,
