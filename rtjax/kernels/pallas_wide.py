@@ -1319,6 +1319,56 @@ def _inst_cull(ai_ref, k, inv_w, sc_w, tmax):
     return jnp.any(_slab(b, inv_w, sc_w, tmax))
 
 
+def _inst_entry_dist(ai_ref, k, inv_w, sc_w, tmax):
+    """Packet entry distance to instance k's world AABB: min over hitting
+    lanes of max(slab entry, 0); BIG when no lane hits.  One slab + one
+    packed min-reduction."""
+    b = tuple(ai_ref[18 * k + 12 + j] for j in range(6))
+    e0 = b[0] * inv_w[0] + sc_w[0]
+    e1 = b[1] * inv_w[1] + sc_w[1]
+    e2 = b[2] * inv_w[2] + sc_w[2]
+    x0 = b[3] * inv_w[0] + sc_w[0]
+    x1 = b[4] * inv_w[1] + sc_w[1]
+    x2 = b[5] * inv_w[2] + sc_w[2]
+    entry = jnp.maximum(jnp.maximum(jnp.minimum(e0, x0),
+                                    jnp.minimum(e1, x1)),
+                        jnp.minimum(e2, x2))
+    exit_ = jnp.minimum(jnp.minimum(jnp.maximum(e0, x0),
+                                    jnp.maximum(e1, x1)),
+                        jnp.maximum(e2, x2))
+    hit = (entry <= exit_) & (exit_ >= 0.0) & (entry <= tmax)
+    return jnp.min(jnp.where(hit, jnp.maximum(entry, 0.0), BIG))
+
+
+def _inst_order_setup(ai_ref, dist_ref, num_inst, inv_w, sc_w, tmax):
+    """Fill dist_ref[k] with each instance's packet entry distance (BIG
+    when culled).  The visit loop then repeatedly extracts the nearest
+    unvisited instance, so closer geometry shrinks tmax BEFORE farther
+    instances are walked — the two-level analog of the reference's
+    nearest-first child ordering (bvh.cuh:284-290)."""
+
+    def body(k, _):
+        dist_ref[k] = _inst_entry_dist(ai_ref, k, inv_w, sc_w, tmax)
+        return 0
+
+    jax.lax.fori_loop(0, num_inst, body, 0)
+
+
+def _inst_next(dist_ref, num_inst):
+    """Pop the nearest pending instance: scalar argmin over dist_ref, then
+    mark it visited (dist = BIG).  Returns (k, dist)."""
+
+    def scan(k, best):
+        d = dist_ref[k]
+        better = d < best[0]
+        return jnp.where(better, d, best[0]), jnp.where(better, k, best[1])
+
+    bd, bk = jax.lax.fori_loop(0, num_inst, scan,
+                               (jnp.float32(BIG), jnp.int32(0)))
+    dist_ref[bk] = BIG
+    return bk, bd
+
+
 def _make_closest_inst_kernel(meta_vmem: bool = False):
   """Two-level wide closest-hit (see InstancedTables).  Outputs add
   ``inst_ref``: the winning instance per lane (0 = base scene); normals are
@@ -1341,7 +1391,7 @@ def _make_closest_inst_kernel(meta_vmem: bool = False):
          nb_ref, lt_ref, *rest) = args
         cm_at, info_read = _smem_meta(cm_ref, ni_ref)
     (hit_ref, tout_ref, prim_ref, inst_ref,
-     nx_ref, ny_ref, nz_ref, st_ref, stack_ref, q_ref) = rest
+     nx_ref, ny_ref, nz_ref, st_ref, stack_ref, q_ref, dist_ref) = rest
     n_tiles = hit_ref.shape[0]
     num_inst = root_ref.shape[0]
 
@@ -1361,9 +1411,15 @@ def _make_closest_inst_kernel(meta_vmem: bool = False):
              jnp.zeros(shape, jnp.int32),
              (jnp.zeros(shape, jnp.float32),) * 3)
 
-      def inst_body(k, c):
+      # nearest-first instance order: closer geometry shrinks tmax before
+      # farther instances are considered, and the per-visit re-cull against
+      # the CURRENT tmax then skips fully-occluded instances outright
+      _inst_order_setup(ai_ref, dist_ref, num_inst, inv_w, sc_w, tmax)
+
+      def inst_body(i, c):
           rounds, leafs, tmax, ds = c
-          pending = _inst_cull(ai_ref, k, inv_w, sc_w, tmax)
+          k, dist = _inst_next(dist_ref, num_inst)
+          pending = (dist < BIG) & _inst_cull(ai_ref, k, inv_w, sc_w, tmax)
           o_l, d_l, inv, sc, octant = _inst_local_rays(ai_ref, k, o_w, d_w)
           root = jnp.where(pending, root_ref[k], IDLE)
           dloop = _simple_drain_loop(q_ref, lt_ref,
@@ -1410,7 +1466,7 @@ def _make_anyhit_inst_kernel(meta_vmem: bool = False):
         (o_ref, d_ref, t_ref, act_ref, ex_ref, root_ref, ai_ref, ni_ref,
          cm_ref, nb_ref, lt_ref, *rest) = args
         cm_at, info_read = _smem_meta(cm_ref, ni_ref)
-    occ_ref, st_ref, stack_ref, q_ref = rest
+    occ_ref, st_ref, stack_ref, q_ref, dist_ref = rest
     n_tiles = occ_ref.shape[0]
     num_inst = root_ref.shape[0]
 
@@ -1427,9 +1483,15 @@ def _make_anyhit_inst_kernel(meta_vmem: bool = False):
       stop = lambda occ: jnp.all((occ != 0) | ~valid)
       no_excl = jnp.full(exclude.shape, -1, jnp.int32)
 
-      def inst_body(k, c):
+      # nearest-first here too: finding occluders early trips the
+      # all-lanes-occluded stop and idles the remaining instances' walks
+      _inst_order_setup(ai_ref, dist_ref, num_inst, inv_w, sc_w, tmax_all)
+
+      def inst_body(i, c):
           rounds, leafs, tmax, occ = c
-          pending = _inst_cull(ai_ref, k, inv_w, sc_w, tmax) & ~stop(occ)
+          k, dist = _inst_next(dist_ref, num_inst)
+          pending = (dist < BIG) & ~stop(occ) & \
+              _inst_cull(ai_ref, k, inv_w, sc_w, tmax)
           o_l, d_l, inv, sc, octant = _inst_local_rays(ai_ref, k, o_w, d_w)
           root = jnp.where(pending, root_ref[k], IDLE)
           ex_k = jnp.where(k == 0, exclude, no_excl)
@@ -1710,7 +1772,8 @@ def wide_traverse_closest_inst(tabs: InstancedTables, origin, direction,
                    jax.ShapeDtypeStruct(shp, f32),
                    jax.ShapeDtypeStruct(shp, f32),
                    jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32)],
-        scratch_shapes=_scratch(),
+        scratch_shapes=_scratch()
+        + [pltpu.SMEM((tabs.root.shape[0],), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(tabs.wide, n_pad)),
         interpret=interpret,
@@ -1763,7 +1826,8 @@ def wide_traverse_anyhit_inst(tabs: InstancedTables, origin, direction,
         out_specs=[_VMEM, _SMEM],
         out_shape=[jax.ShapeDtypeStruct((n_tiles, SUBLANES, 128), jnp.int32),
                    jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32)],
-        scratch_shapes=_scratch(),
+        scratch_shapes=_scratch()
+        + [pltpu.SMEM((tabs.root.shape[0],), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(tabs.wide, n_pad)),
         interpret=interpret,
