@@ -1202,7 +1202,7 @@ def concat_wide_tables(parts):
     assert all(not t.packed_nodes for t in parts), \
         "concat_wide_tables needs unpacked node rows (pack last)"
     node_off, leaf_off = [], []
-    nb, cm, ni, lt, am, lp, ln = [], [], [], [], [], [], []
+    nb, cm, ni, lt, am, lp = [], [], [], [], [], []
     n_nodes = n_leaves = 0
     total_nodes = sum(t.num_wide_nodes for t in parts)
     total_leaves = sum(t.num_leaf_rows for t in parts)
