@@ -147,7 +147,7 @@ def main():
             rays_per_spp = r["rays"] / 4
             t0 = time.time()
             render_checkpointed(scene, cam, cfg, ckpt, batch_spp=16,
-                                verbose=False)
+                                save_every=16, verbose=False)
             dt = time.time() - t0
             rays = rays_per_spp * spp
             mrays = rays / dt / 1e6
