@@ -43,9 +43,18 @@ def main() -> None:
     print(f"# scene: {scene.tris.num} tris, {scene.bvh.num_nodes} nodes, "
           f"build {build_s:.1f}s", file=sys.stderr)
 
+    kw = {}
+    if os.environ.get("BENCH_SORT") == "0":
+        kw["sort_rays"] = False
+    if os.environ.get("BENCH_SORT_KEY"):
+        kw["sort_key"] = os.environ["BENCH_SORT_KEY"]
+    if os.environ.get("BENCH_CAMERA_ORDER"):
+        kw["camera_order"] = os.environ["BENCH_CAMERA_ORDER"]
+    if os.environ.get("BENCH_MXU"):
+        kw["mxu_drain"] = bool(int(os.environ["BENCH_MXU"]))
     cfg = RenderConfig(width=width, height=height, num_samples=spp,
                        max_bounces=bounces, num_working_paths=pool,
-                       traversal=traversal)
+                       traversal=traversal, **kw)
     key = jax.random.key(1)
 
     # compile
