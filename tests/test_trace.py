@@ -193,3 +193,50 @@ def test_instanced_pallas_matches_xla_random_rays():
     op = trace_anyhit(scene, cfg, "pallas", True, o, d, jnp.full(n, 2.0), ex,
                       active)
     np.testing.assert_array_equal(np.asarray(ox), np.asarray(op))
+
+
+def test_64_instances_single_launch_path():
+    """64 instances render through the single-launch two-level kernel (the
+    round-2 int32 pending bitmask capped this at 31) and agree with the
+    XLA loop; nearest-first visiting must not change results."""
+    b = SceneBuilder()
+    white = b.make_matte((0.7, 0.7, 0.7))
+    red = b.make_matte((0.6, 0.1, 0.1))
+    b.add_triangles([-4, 0, 4], [4, 0, 4], [4, 0, -4], white)
+    b.add_triangles([-4, 0, 4], [4, 0, -4], [-4, 0, -4], white)
+    b.add_area_light([-0.5, 3, -0.5], [0.5, 3, -0.5], [0.5, 3, 0.5],
+                     (10, 10, 10), white)
+    v = np.array([[0, 0, 0], [0.2, 0, 0], [0.1, 0, -0.2],
+                  [0.1, 0.25, -0.07]])
+    f = np.array([[0, 1, 3], [1, 2, 3], [2, 0, 3], [0, 1, 2]])
+    mid = b.register_mesh(v, f)
+    for i in range(64):
+        t = Transform(translate((i % 8) * 0.9 - 3.5, 0.0,
+                                (i // 8) * 0.9 - 3.5))
+        b.add_instance(mid, red, t)
+    scene = b.build()
+    assert scene.inst_tables is not None  # single-launch path active
+    assert scene.instances.num == 64
+
+    cfg = RenderConfig()
+    rng = np.random.default_rng(3)
+    n = 2048
+    o = rng.uniform(-3.5, 3.5, (n, 3)).astype(np.float32)
+    o[:, 1] = np.abs(rng.normal(0.5, 0.3, n)).astype(np.float32) + 0.05
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    tmax = jnp.full(n, jnp.inf)
+    active = jnp.ones(n, bool)
+
+    hx = trace_closest(scene, cfg, "xla", True, o, d, tmax, active)
+    hp = trace_closest(scene, cfg, "pallas", True, o, d, tmax, active)
+    m = np.asarray(hx[0])
+    assert m.sum() > 100
+    # instanced hits present (not just the floor)
+    assert (np.asarray(hx[3])[m] > 0).sum() > 20
+    np.testing.assert_array_equal(m, np.asarray(hp[0]))
+    np.testing.assert_allclose(np.asarray(hx[1])[m], np.asarray(hp[1])[m],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(hx[2])[m], np.asarray(hp[2])[m])
+    np.testing.assert_array_equal(np.asarray(hx[3])[m], np.asarray(hp[3])[m])
