@@ -27,9 +27,9 @@ def main():
     from rtjax.render import render_frame
     from rtjax.kernels.pallas_wide import wide_traverse_closest_inst
     from rtjax.scene.transform import Transform, rotate, scale, translate
-    from rtjax.scene.mesh import read_ply
+    from rtjax.scene.mesh import load_ply
 
-    mesh = read_ply(os.path.join(os.path.dirname(__file__), os.pardir,
+    mesh = load_ply(os.path.join(os.path.dirname(__file__), os.pardir,
                                  "assets", "bun_zipper.ply"))
     b = SceneBuilder()
     white = b.make_matte((0.73, 0.73, 0.73))

@@ -83,14 +83,17 @@ class RenderConfig:
     def pool_size(self) -> int:
         """Effective wavefront pool width.
 
-        Explicit ``num_working_paths`` wins; otherwise the nearest
-        power of two to total_camera_rays/32, clamped to [2^17, 2^19]
-        (measured sweet spots on v5e — benchmarks/RESULTS.md).
+        Explicit ``num_working_paths`` wins; otherwise the largest power
+        of two with at least ~16 pool refills, clamped to [2^17, 2^19].
+        (Round-3 sweep on v5e: the 64spp bunny runs 12.2 at 2^18 vs 11.3
+        at 2^17 — the round-2 stage-math penalty for wide pools is gone
+        after the floor diet — but a 16spp frame with only 4 refills of
+        2^18 drops to 9.4; ~16 refills is the measured crossover.)
         """
         if self.num_working_paths is not None:
             return self.num_working_paths
         n = 1 << 17
-        while n < (1 << 19) and n * 32 < self.total_camera_rays:
+        while n < (1 << 19) and n * 16 < self.total_camera_rays:
             n <<= 1
         return n
 

@@ -125,6 +125,8 @@ def test_adaptive_pool_size():
                         num_samples=16).pool_size == 1 << 17
     assert RenderConfig(width=512, height=512,
                         num_samples=64).pool_size == 1 << 19
+    assert RenderConfig(width=256, height=256,
+                        num_samples=64).pool_size == 1 << 18
     assert RenderConfig(width=1920, height=1080,
-                        num_samples=4).pool_size == 1 << 18
+                        num_samples=4).pool_size == 1 << 19
     assert RenderConfig(num_working_paths=512).pool_size == 512
