@@ -44,7 +44,8 @@ class RenderConfig:
     # ids in 16x16-pixel screen blocks, so primary-ray packet tiles cover
     # compact screen areas instead of full-width scanline bands; "scan"
     # keeps raw pixel-major order.  "auto" picks blocked when one 2048-ray
-    # tile spans >= 128 pixels (spp <= 16) — at higher spp tiles are
+    # tile spans >= 256 pixels (spp <= 8; measured: 16spp bunny scan 9.75
+    # vs blocked 9.29 Mrays/s) — at higher spp tiles are
     # sub-block already and the rank->pixel gather (~1 ms/iteration at
     # pool width) outweighs the locality win.  Image expectation is
     # identical either way — only the sample->slot schedule changes.

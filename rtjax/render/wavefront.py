@@ -413,7 +413,7 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     got_ray = gen_mask & (cam_id < cam_end)
     pix_rank = jnp.minimum(cam_id // cfg.num_samples, cfg.num_pixels - 1)
     blocked = (cfg.camera_order == "blocked"
-               or (cfg.camera_order == "auto" and cfg.num_samples <= 16))
+               or (cfg.camera_order == "auto" and cfg.num_samples <= 8))
     if blocked:
         # rank -> pixel through a 16x16-block permutation (host-built
         # constant): consecutive sample ids map to compact screen blocks,
