@@ -38,7 +38,8 @@ def main() -> None:
     traversal = os.environ.get("BENCH_TRAVERSAL", "pallas")
 
     t0 = time.time()
-    scene, camera = cornell_bunny()
+    scene, camera = cornell_bunny(
+        mxu_tables=bool(int(os.environ.get("BENCH_MXU", "0"))))
     build_s = time.time() - t0
     print(f"# scene: {scene.tris.num} tris, {scene.bvh.num_nodes} nodes, "
           f"build {build_s:.1f}s", file=sys.stderr)

@@ -29,7 +29,7 @@ def main():
     from rtjax.scenes import cornell_bunny
 
     log2s = [int(a) for a in sys.argv[1:]] or [17]
-    scene, _cam = cornell_bunny()
+    scene, _cam = cornell_bunny(mxu_tables=True)
     tables = scene.tables
     print(f"backend = {jax.default_backend()}")
 

@@ -115,7 +115,7 @@ def main():
     names = [a for a in args if not a.isdigit()] or \
         ["off", "empty", "nowait", "nomm", "noext", "full"]
     n = 1 << log2
-    scene, _cam = cornell_bunny()
+    scene, _cam = cornell_bunny(mxu_tables=True)
     tables = scene.tables
     print(f"pool = 2^{log2}, backend = {jax.default_backend()}")
 

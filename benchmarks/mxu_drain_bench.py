@@ -29,7 +29,7 @@ def main():
 
     log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 17
     n = 1 << log2
-    scene, cam = cornell_bunny()
+    scene, cam = cornell_bunny(mxu_tables=True)
     tables = scene.tables
     interp = jax.default_backend() != "tpu"
     print(f"pool = 2^{log2} = {n}, backend = {jax.default_backend()}")

@@ -122,13 +122,15 @@ def cmd_bench(args) -> int:
     fb, stats = render_frame(scene, camera, cfg, key)
     _ = float(np.asarray(fb).mean())  # host fetch = reliable device sync
     print(f"compile+first run: {time.time() - t0:.1f}s")
-    dt = float("inf")
+    dt, rays = float("inf"), 0.0
     for rep in range(args.reps):
         t0 = time.time()
         fb, stats = render_frame(scene, camera, cfg, jax.random.key(2 + rep))
         _ = float(np.asarray(fb).mean())
-        dt = min(dt, time.time() - t0)
-    rays = float(np.asarray(stats["rays_traced"]))
+        rep_dt = time.time() - t0
+        if rep_dt < dt:  # rays must come from the SAME rep as the min time
+            dt = rep_dt
+            rays = float(np.asarray(stats["rays_traced"]))
     print(f"{args.scene} {cfg.width}x{cfg.height}@{cfg.num_samples}spp: "
           f"{dt:.3f}s, {rays:.4g} rays, {rays / dt / 1e6:.2f} Mrays/s")
     return 0

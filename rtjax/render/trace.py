@@ -33,6 +33,16 @@ def _inst_meta_vmem(tabs):
     return (tabs.wide.child_meta.size
             + tabs.wide.node_info.size) * 4 >= SMEM_META_CAP
 
+
+def _tables_meta_vmem(tables):
+    """Same SMEM-cap decision for a single WideTables (per-BLAS launches in
+    the per-instance fallback loop: a large instanced mesh's meta must go
+    to the mirror lanes there too or the SMEM in_spec faults at compile)."""
+    if tables is None:
+        return False
+    return (tables.child_meta.size + tables.node_info.size) * 4 \
+        >= SMEM_META_CAP
+
 _FLT_EPSILON = float(np.finfo(np.float32).eps)
 
 _warned = set()
@@ -51,17 +61,16 @@ def _warn_blas_fallback(mesh_id):
                "its instances traverse on the (slow) XLA backend")
 
 
-def _use_mxu(cfg, mode, interp):
+def _use_mxu(cfg, mode, interp=None):
     """Static decision: run closest-hit leaf drains on the MXU?  Auto
     currently resolves to OFF.  Round-3 launch_floor.py bisect: after
     enqueue-time A-block DMA, XLA-side feature build, and collapsing the
     4 post-kernel gathers to one leaf_rec row gather, the MXU drain's
     per-VISIT cost beats the VPU drain (~3.0 vs ~3.4 ms work on the
     2^17-ray bunny launch) but the remaining pool-width gather costs
-    ~1.2 ms per LAUNCH, which nets out to ~neutral at bunny visit counts.
-    Worth forcing on for visit-heavy workloads (big scenes, incoherent
-    pools); a bool in the config forces either way (the parity test
-    forces True under interpret)."""
+    ~1.2 ms per LAUNCH, which nets out to ~neutral at bunny visit counts
+    (whole-frame A/B: 12.14 on vs 12.19 off).  Worth forcing on for
+    visit-heavy workloads; cfg.mxu_drain (a bool) forces either way."""
     mxu = getattr(cfg, "mxu_drain", None)
     if mxu is None:
         return False
@@ -215,6 +224,7 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
                 _warn_blas_fallback(inst.mesh_id[k])
             c_k, _ = _backend(mode_k, interp, blas.tables, blas.bvh,
                               blas.tris, cfg.stack_size, with_stats,
+                              meta_vmem=_tables_meta_vmem(blas.tables),
                               mxu_drain=_use_mxu(cfg, mode_k, interp))
             m = active & _instance_mask(inst, k, o, d)
             o_l = _affine_point_v3(inst.inv[k], o)
@@ -268,7 +278,8 @@ def trace_anyhit(scene, cfg, mode, interp, o, d, tmax, exclude, active,
             blas = scene.blas[inst.mesh_id[k]]
             mode_k = mode if blas.tables is not None else "xla"
             _, a_k = _backend(mode_k, interp, blas.tables, blas.bvh,
-                              blas.tris, cfg.stack_size, with_stats)
+                              blas.tris, cfg.stack_size, with_stats,
+                              meta_vmem=_tables_meta_vmem(blas.tables))
             m = active & ~occ & _instance_mask(inst, k, o, d)
             o_l = _affine_point_v3(inst.inv[k], o)
             d_l = _affine_vector_v3(inst.inv[k], d)

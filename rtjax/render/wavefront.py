@@ -490,9 +490,9 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
             occ2, (s1, l1) = occ2
             node_steps = node_steps + s1
             leaf_visits = leaf_visits + l1
-        occluded, blocked = occ2[:n], occ2[n:]
+        occluded, chs_occ = occ2[:n], occ2[n:]
         acc = _accum(acc, ah_L, ah_mask & ~occluded)
-        acc = _accum(acc, chs_L, chs_mask & ~blocked)
+        acc = _accum(acc, chs_L, chs_mask & ~chs_occ)
         traced = traced + jnp.sum(ah_mask, dtype=jnp.float32) + \
             jnp.sum(chs_mask, dtype=jnp.float32)
 

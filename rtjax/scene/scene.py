@@ -190,7 +190,8 @@ class SceneBuilder:
               max_leaf_size: int | None = 8,
               min_leaf_size: int | None = None,
               builder: str = "auto",
-              verbose: bool = False) -> Scene:
+              verbose: bool = False,
+              mxu_tables: bool = False) -> Scene:
         """Assemble the device scene (BVH build + leaf-order permutation).
 
         ``min_leaf_size`` defaults to ``max_leaf_size`` (filled leaf rows for
@@ -271,8 +272,12 @@ class SceneBuilder:
             pp0, pp1, pp2 = p0[perm], p1[perm], p2[perm]
             te1 = pp0 - pp1
             te2 = pp2 - pp0
+            # MXU A-matrix companions (8 KB/leaf-row of HBM) only on
+            # request: the drain is opt-in and the default bunny table
+            # would be ~90 MB of never-read device memory
             tables = build_wide_tables(res, pp0, te1, te2,
-                                       np.cross(te1, te2), as_numpy=True)
+                                       np.cross(te1, te2), as_numpy=True,
+                                       with_amat=mxu_tables)
             node_bytes = tables.num_wide_nodes * 512
             leaf_bytes = tables.num_leaf_rows * 512
             smem_bytes = (tables.child_meta.size
@@ -357,13 +362,14 @@ class SceneBuilder:
             # oversized BLAS falls back to the XLA traversal instead of
             # faulting at kernel launch
             est_rows = res.num_nodes // 2 + res.num_nodes // 8 + 16
-            fits_vmem = est_rows * 512 < (100 << 20)
+            fits_vmem = est_rows * 512 < TABLE_VMEM_BUDGET
             if (max_leaf_size is not None and max_leaf_size <= 8
                     and fits_vmem):
                 pp0, pp1, pp2 = p0[perm], p1[perm], p2[perm]
                 te1, te2 = pp0 - pp1, pp2 - pp0
                 tables = build_wide_tables(res, pp0, te1, te2,
-                                           np.cross(te1, te2), as_numpy=True)
+                                           np.cross(te1, te2), as_numpy=True,
+                                           with_amat=False)
             blas_np.append(tables)
             blas.append(MeshBlas(tris=tris, bvh=res.to_device(),
                                  tables=None if tables is None
