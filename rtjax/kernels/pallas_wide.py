@@ -871,10 +871,28 @@ def _build_phi_xla(o, d):
             dy * oz - dz * oy, dz * ox - dx * oz, dx * oy - dy * ox,
             ox, oy, oz, jnp.ones_like(ox)]
     F = jnp.stack(rows + [jnp.zeros_like(ox)] * 6, axis=1)  # [nt,16,TILE]
-    f1 = F.astype(jnp.bfloat16)
-    r = F - f1.astype(jnp.float32)
-    f2 = r.astype(jnp.bfloat16)
-    f3 = (r - f2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    # the split MUST be integer truncation, not `F - F.astype(bf16)`: on
+    # TPU XLA keeps that chain in bf16 precision and folds the residual to
+    # ZERO, silently degrading the whole drain to bf16 accuracy (caught by
+    # the hardware parity run: prim agree fell to 0.97).  Bit ops have
+    # exact semantics the compiler cannot re-associate, and truncation
+    # residuals are exactly representable (matching pack_leaf_amat's
+    # _split3_bf16 on the A side).
+    bc = jax.lax.bitcast_convert_type
+
+    def trunc(v):
+        return bc(bc(v, jnp.uint32) & jnp.uint32(0xFFFF0000), jnp.float32)
+
+    def to_bf16(v):
+        return bc((bc(v, jnp.uint32) >> 16).astype(jnp.uint16),
+                  jnp.bfloat16)
+
+    f1 = trunc(F)
+    r = F - f1
+    f2 = trunc(r)
+    f3 = trunc(r - f2)
+    f1, f2, f3 = to_bf16(f1), to_bf16(f2), to_bf16(f3)
     z = jnp.zeros((nt, AM_K - 96, TILE), jnp.bfloat16)
     return jnp.concatenate([f1, f2, f3, f1, f2, f1, z], axis=1)
 
