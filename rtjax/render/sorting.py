@@ -162,3 +162,24 @@ def sort_pytree_by_key(keys, tree):
             new_leaves.append(c != 0 if was_bool else c)
             pos += 1
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def _part1by2_10(x):
+    """Spread 10 bits to every 3rd bit (same magic; kept separate for the
+    10-bit key so the 9-bit paths stay untouched)."""
+    return _part1by2(x)
+
+
+def ray_sort_keys_pos10_v3(origin, direction, lo, hi, active):
+    """Finer position-major keys: 30-bit origin Morton (10 bits/axis), NO
+    octant tie-break.  Trades direction grouping within a cell for 8x
+    smaller cells — an experiment for bounce-packet locality (the 9-bit
+    grid is ~2 scene-units/512 per cell; divergent bounce packets may gain
+    more from tighter origins than from direction bucketing)."""
+    cells = []
+    for k in range(3):
+        g = (origin[k] - lo[k]) / jnp.maximum(hi[k] - lo[k], 1e-30)
+        cells.append(jnp.clip(g * 1023.0, 0.0, 1023.0).astype(jnp.int32))
+    m = (_part1by2_10(cells[0]) | (_part1by2_10(cells[1]) << 1)
+         | (_part1by2_10(cells[2]) << 2))
+    return jnp.where(active, m, jnp.int32(0x7FFFFFFF))
