@@ -148,12 +148,52 @@ def _make_slab_step(n_iters, n_children):
     return f, (pb, o)
 
 
+# ------------------------------------------------- slab step, [1,128] gathers
+def _make_slab_step_row1(n_iters, n_children):
+    """Like _make_slab_step but the lane-broadcast gathers run on the raw
+    [1, 128] row (one vreg) and the slab arithmetic relies on implicit
+    sublane broadcasting against the [SUBLANES, 128] ray registers — the
+    hypothesis is that materializing 48 full [16, 128] gather results per
+    step is paying 16x the vreg traffic the gather needs."""
+    def kernel(pb_ref, o_ref, out_ref):
+        inv = tuple(o_ref[k] for k in range(3))
+        sc = tuple(o_ref[k + 3] for k in range(3))
+        tmax = o_ref[6]
+
+        def body(carry):
+            acc, i = carry
+            # gather on ONE vreg ([8,128]) then slice to [1,128]; the slab
+            # arithmetic broadcasts sublanes implicitly ([1,128] operands)
+            row8 = jnp.broadcast_to(pb_ref[pl.ds(i % 1024, 1), :], (8, 128))
+            b = tuple(jnp.take_along_axis(
+                row8, jnp.full((8, 128), k, jnp.int32), 1)[0:1]
+                for k in range(6 * n_children))
+            hits = [_slab(b[6 * c:6 * c + 6], inv, sc, tmax)
+                    for c in range(n_children)]
+            m0 = sum(hits[c].astype(jnp.int32) << (8 * c) for c in range(4))
+            m1 = sum(hits[c + 4].astype(jnp.int32) << (8 * c)
+                     for c in range(n_children - 4))
+            s = jnp.sum(m0) + jnp.sum(m1)
+            return acc + s, i + 1
+
+        out = jax.lax.while_loop(lambda c: c[1] < n_iters, body,
+                                 (jnp.int32(0), jnp.int32(0)))
+        out_ref[0] = out[0]
+
+    pb = jnp.asarray(np.random.rand(1024, 128), jnp.float32)
+    o = jnp.asarray(np.random.rand(7, SUBLANES, 128), jnp.float32)
+    f = jax.jit(lambda pb, o: _smem_out_call(kernel, pb, o))
+    return f, (pb, o)
+
+
 # ------------------------------------------------------------ leaf MT (VPU)
-def make_leaf_mt_vpu(n_iters, serialize=True):
+def make_leaf_mt_vpu(n_iters, serialize=True, row1=False):
     """Current leaf visit: broadcast row + 8 unrolled MT tests.
 
     serialize=True chains tmax through the 8 slots (current kernel);
     False tests all 8 against the step-entry tmax then min-reduces.
+    row1=True gathers on the raw [1, 128] row and lets the MT arithmetic
+    broadcast sublanes implicitly (one vreg per gather instead of 16).
     """
     PID_BASE = 96
 
@@ -163,13 +203,18 @@ def make_leaf_mt_vpu(n_iters, serialize=True):
 
         def body(carry):
             tmax, t, prim, i = carry
-            row_b = jnp.broadcast_to(lt_ref[pl.ds(i % 1024, 1), :],
-                                     (SUBLANES, 128))
+            row = lt_ref[pl.ds(i % 1024, 1), :]
+            row_b = jnp.broadcast_to(row, (8, 128) if row1
+                                     else (SUBLANES, 128))
             ref_tmax = tmax
             for slot in range(8):
                 base = 12 * slot
                 lanes = list(range(base, base + 12)) + [PID_BASE + slot]
-                v = tuple(_bcast(row_b, k) for k in lanes)
+                v = tuple(jnp.take_along_axis(
+                    row_b, jnp.full(row_b.shape, k, jnp.int32), 1)
+                    for k in lanes)
+                if row1:
+                    v = tuple(x[0:1] for x in v)
                 (p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z,
                  nx, ny, nz, pid) = v
                 cx = p0x - o[0]; cy = p0y - o[1]; cz = p0z - o[2]
@@ -666,7 +711,9 @@ ALL = {
     "slab_pair": (partial(_make_slab_step, n_children=2), 30_000),
     "slab_wide4": (partial(_make_slab_step, n_children=4), 30_000),
     "slab_wide8": (partial(_make_slab_step, n_children=8), 30_000),
+    "slab_wide8_row1": (partial(_make_slab_step_row1, n_children=8), 30_000),
     "leaf_mt_vpu": (make_leaf_mt_vpu, 20_000),
+    "leaf_mt_vpu_row1": (partial(make_leaf_mt_vpu, row1=True), 20_000),
     "leaf_mt_vpu_par": (partial(make_leaf_mt_vpu, serialize=False), 20_000),
     "leaf_mt_mxu_f32": (partial(make_leaf_mt_mxu, dtype=jnp.float32), 20_000),
     "leaf_mt_mxu_bf16": (partial(make_leaf_mt_mxu, dtype=jnp.bfloat16),

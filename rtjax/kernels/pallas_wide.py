@@ -48,7 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.bvh import BuildResult
 
-SUBLANES = 16
+import os as _os
+
+SUBLANES = int(_os.environ.get("RTJAX_SUBLANES", "16"))
 TILE = SUBLANES * 128
 WIDTH = 8             # children per wide node
 MAX_LEAF = 8          # triangles per leaf row (96 floats + 8 ids = 104 lanes)
@@ -56,6 +58,8 @@ PID_BASE = 12 * MAX_LEAF
 STACK_SIZE = 1024     # shared by all walks (generous; overflow faults SMEM)
 QUEUE_CAP = 24        # leaf visits buffered between drains (stale-tmax window)
 NUM_WALKS = 3
+MT_SUBLANES = 8       # leaf rows broadcast to ONE vreg for the drain's
+                      # lane gathers (see _bcast_lanes_row1)
 # the cap check runs once per walk round; a round can append WIDTH per walk
 Q_ALLOC = QUEUE_CAP + NUM_WALKS * WIDTH
 BIG = 3.4e38
@@ -511,6 +515,22 @@ def _pick(mask, rev):
     return jnp.where(rev != 0, 31 - jax.lax.clz(safe), _ctz(safe))
 
 
+def _bcast_lanes_row1(row_b, lanes):
+    """Lane-broadcast gathers on ONE vreg: the gather runs on the [8, 128]
+    row broadcast and the result is sliced to [1, 128]; downstream
+    arithmetic broadcasts sublanes implicitly.  Microbenched slightly ahead
+    of materializing [SUBLANES, 128] gather results (means 342 vs 364
+    ns/visit across 3 runs, within tunnel noise; whole-frame A/B neutral at
+    12.21 vs 12.29 Mrays/s) — kept for the lower vreg pressure in drains
+    (live row = 1 vreg, not 2).  The same trick measured slightly WORSE on
+    the walk's slab gathers, so _bcast_lanes stays for bounds rows
+    (benchmarks/micro_kernel.py slab_wide8_row1 / leaf_mt_vpu_row1)."""
+    return tuple(
+        jnp.take_along_axis(row_b, jnp.full(row_b.shape, k, jnp.int32),
+                            axis=1)[0:1]
+        for k in lanes)
+
+
 def _mt8(row_b, o, d, tmax):
     """All 8 leaf-row MT tests vs the SAME tmax (no slot serialization);
     returns the closest accepted hit per lane as (t, pid_f32, nx, ny, nz),
@@ -529,8 +549,8 @@ def _mt8(row_b, o, d, tmax):
     for slot in range(MAX_LEAF):
         base = 12 * slot
         (p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z, nx, ny, nz, pid) = \
-            _bcast_lanes(row_b, list(range(base, base + 12))
-                         + [PID_BASE + slot])
+            _bcast_lanes_row1(row_b, list(range(base, base + 12))
+                              + [PID_BASE + slot])
         cx = p0x - o[0]; cy = p0y - o[1]; cz = p0z - o[2]
         rx = d[1] * cz - d[2] * cy
         ry = d[2] * cx - d[0] * cz
@@ -556,8 +576,8 @@ def _mt8_any(row_b, o, d, tmax, exclude):
     for slot in range(MAX_LEAF):
         base = 12 * slot
         (p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z, nx, ny, nz, pid) = \
-            _bcast_lanes(row_b, list(range(base, base + 12))
-                         + [PID_BASE + slot])
+            _bcast_lanes_row1(row_b, list(range(base, base + 12))
+                              + [PID_BASE + slot])
         cx = p0x - o[0]; cy = p0y - o[1]; cz = p0z - o[2]
         rx = d[1] * cz - d[2] * cy
         ry = d[2] * cx - d[0] * cz
@@ -783,7 +803,7 @@ def _simple_drain_loop(q_ref, lt_ref, drain_fn):
             qi, tmax, ds = c2
             meta = q_ref[qi]
             row_b = jnp.broadcast_to(lt_ref[pl.ds(meta >> 4, 1), :],
-                                     (SUBLANES, 128))
+                                     (MT_SUBLANES, 128))
             tmax, ds = drain_fn(meta, row_b, tmax, ds)
             return qi + 1, tmax, ds
 
@@ -826,7 +846,7 @@ def _hbm_drain_loop(q_ref, lt_hbm, rowbuf, sems, drain_fn):
             slot = qi & (DMA_DEPTH - 1)
             pltpu.make_async_copy(lt_hbm.at[pl.ds(meta >> 4, 1), :],
                                   rowbuf.at[slot], sems.at[slot]).wait()
-            row_b = jnp.broadcast_to(rowbuf[slot], (SUBLANES, 128))
+            row_b = jnp.broadcast_to(rowbuf[slot], (MT_SUBLANES, 128))
             tmax, ds = drain_fn(meta, row_b, tmax, ds)
 
             @pl.when(qi + DMA_DEPTH < qn)
