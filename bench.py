@@ -53,6 +53,11 @@ def main() -> None:
         kw["camera_order"] = os.environ["BENCH_CAMERA_ORDER"]
     if os.environ.get("BENCH_MXU"):
         kw["mxu_drain"] = bool(int(os.environ["BENCH_MXU"]))
+    if os.environ.get("BENCH_ONE_SAMPLE_MIS"):
+        # one-sample MIS traces FEWER rays for the same image: wall time
+        # drops but Mrays/s also counts fewer traversals — compare the
+        # frame seconds, not the headline value
+        kw["one_sample_mis"] = bool(int(os.environ["BENCH_ONE_SAMPLE_MIS"]))
     cfg = RenderConfig(width=width, height=height, num_samples=spp,
                        max_bounces=bounces, num_working_paths=pool,
                        traversal=traversal, **kw)

@@ -67,6 +67,21 @@ class RenderConfig:
     # per-group fixed costs beat the per-visit matmul win at production
     # queue sizes (render/trace.py _use_mxu).  A bool forces it.
     mxu_drain: bool | None = None
+    # one-sample MIS: reuse the path-continuation BSDF sample for the
+    # BSDF-side MIS light channel (the standard single-sample estimator,
+    # e.g. PBRT); the channel's "closest hit == picked light triangle"
+    # test is answered by the path ray's own closest-hit record, so the
+    # second BSDF draw, the direct light MT test, and the CH half of the
+    # 2N any-hit launch all disappear.  Identical expectation to the
+    # default two-sample form (the reference's structure,
+    # render.cuh:213-245, minus its target bug); slightly higher variance
+    # from the path/MIS sample correlation.  Measured FRAME-NEUTRAL on the
+    # bunny bench (12.19 vs 12.21 Mrays/s): the CH channel's traversal was
+    # already gated by the direct light test (lpdf2 > 0 only when the BSDF
+    # ray points at the light, ~0.3% of lanes), so there was little
+    # traversal to save.  Kept as a standard estimator option.
+    # Incompatible with reference_parity.
+    one_sample_mis: bool = False
     # collect extended observability counters (SURVEY.md §5): per-depth
     # bounce histogram plus traversal node-step / leaf-visit counters from
     # the kernels.  Off by default — the histogram scatter and counter

@@ -309,9 +309,16 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         ah_o, ah_d, ah_tmax = spawn_offset_ray_v3(p, n_l, wi_l, light_t)
         ah_mask = mat_mask & got_f
 
-        # (3) BSDF-sampling MIS -> CH shadow ray (render.cuh:213-245)
-        f2, wi2, pdf2, n2 = sample_f_v3(mtype, albedo, ior, wo, n_g,
-                                        *u_bsdf2)
+        # (3) BSDF-sampling MIS -> CH shadow ray (render.cuh:213-245).
+        # one_sample_mis reuses the path-continuation sample (wi1) — the
+        # standard single-sample estimator; identical expectation, and the
+        # channel's closest-hit test is then answered by the path ray's
+        # own traversal (engine below), costing zero extra rays
+        if cfg.one_sample_mis:
+            f2, wi2, pdf2, n2 = f1, wi1, pdf1, n1
+        else:
+            f2, wi2, pdf2, n2 = sample_f_v3(mtype, albedo, ior, wo, n_g,
+                                            *u_bsdf2)
         f2c = v3.scale(v3.dot(wi2, n2), f2)
         spec = is_specular(mtype)
         lpdf2 = pdf_li_v3(scene.lights, pick, p, wi2, rec=lrec)
@@ -319,6 +326,13 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         w2 = jnp.where(spec, 1.0, power_heuristic(pdf2, g_2))
         chs_mask = mat_mask & ~delta & (spec | (lpdf2 > 0.0))
         chs_L = v3.mul(multiplier, v3.scale(w2 / pdf2, v3.mul(f2c, l_emit)))
+        if cfg.one_sample_mis:
+            # no separate shadow ray: "closest hit == the target light
+            # triangle" is checked against the path ray's hit record
+            out.update(ah_o=ah_o, ah_d=ah_d, ah_tmax=ah_tmax, ah_L=ah_L,
+                       ah_mask=ah_mask, ltri=ltri, chs_L=chs_L,
+                       chs_mask=chs_mask)
+            return out
         chs_o, chs_d, _ = spawn_offset_ray_v3(p, n2, wi2)
         # "closest hit == the target triangle" (render.cuh:321)  <=>  the
         # ray hits the target at t AND nothing else hits with t' < t.  One
@@ -376,9 +390,11 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
                 out.update(ah_o=z3(), ah_d=z3(), ah_tmax=zf(), ah_L=z3(),
                            ah_mask=jnp.zeros(n, bool),
                            ltri=jnp.full(n, INVALID_INDEX, jnp.int32),
-                           chs_o=z3(), chs_d=z3(), chs_L=z3(),
-                           chs_mask=jnp.zeros(n, bool), chs_t=zf(),
-                           chs_tgt=jnp.full(n, INVALID_INDEX, jnp.int32))
+                           chs_L=z3(), chs_mask=jnp.zeros(n, bool))
+                if not cfg.one_sample_mis:
+                    out.update(chs_o=z3(), chs_d=z3(), chs_t=zf(),
+                               chs_tgt=jnp.full(n, INVALID_INDEX,
+                                                jnp.int32))
             return out
 
         def chunk_body(c, outs):
@@ -396,8 +412,10 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     if num_lights > 0:
         ah_o, ah_d, ah_tmax = sh["ah_o"], sh["ah_d"], sh["ah_tmax"]
         ah_L, ah_mask, ltri = sh["ah_L"], sh["ah_mask"], sh["ltri"]
-        chs_o, chs_d, chs_L = sh["chs_o"], sh["chs_d"], sh["chs_L"]
-        chs_mask, chs_tgt, chs_t = sh["chs_mask"], sh["chs_tgt"], sh["chs_t"]
+        chs_L, chs_mask = sh["chs_L"], sh["chs_mask"]
+        if not cfg.one_sample_mis:
+            chs_o, chs_d = sh["chs_o"], sh["chs_d"]
+            chs_tgt, chs_t = sh["chs_tgt"], sh["chs_t"]
 
     # ---- gen: refill dead slots with camera rays (render.cuh:250-275) -----
     if state_sorted and not cfg.reference_parity:
@@ -478,7 +496,22 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         node_steps, leaf_visits = tst[0]
 
     traced = jnp.sum(trace_mask, dtype=jnp.float32)
-    if num_lights > 0:
+    if num_lights > 0 and cfg.one_sample_mis:
+        # one-sample MIS: the CH channel's "closest hit == the picked
+        # light's triangle" is read off the path ray's hit record (the
+        # path ray IS the BSDF-MIS ray) — only the NEE any-hit launch
+        # remains, at N rays instead of 2N.  rays_traced counts only the
+        # traversals actually performed.
+        occluded = t_anyhit(ah_o, ah_d, ah_tmax, ltri, ah_mask)
+        if cfg.detailed_stats:
+            occluded, (s1, l1) = occluded
+            node_steps = node_steps + s1
+            leaf_visits = leaf_visits + l1
+        chs_ok = hit & (hsrc == 0) & (hprim == ltri)
+        acc = _accum(acc, ah_L, ah_mask & ~occluded)
+        acc = _accum(acc, chs_L, chs_mask & chs_ok)
+        traced = traced + jnp.sum(ah_mask, dtype=jnp.float32)
+    elif num_lights > 0:
         # both shadow channels ride ONE 2N any-hit launch (they share the
         # sort order, so each half keeps its tile coherence): half the
         # dispatches and scene-table DMAs of separate ah/ch launches
@@ -533,6 +566,10 @@ def render_frame_linear(scene: Scene, camera: Camera, cfg: RenderConfig, key):
     spp, no gamma).  Multi-chip rendering psums these linear buffers across
     the mesh before normalizing once (rtjax.parallel.sharding).
     """
+    if cfg.one_sample_mis and cfg.reference_parity:
+        raise ValueError("one_sample_mis replaces the reference's second "
+                         "BSDF draw (render.cuh:213-245); it cannot be "
+                         "combined with reference_parity")
     n = cfg.pool_size
     state = make_initial_state(n)
     fb = jnp.zeros((cfg.num_pixels, 3), jnp.float32)

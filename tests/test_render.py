@@ -59,6 +59,34 @@ def test_cornell_specular_matches_oracle():
     assert mse(img_o, img_r) < 0.004
 
 
+def test_one_sample_mis_matches_default(matte_pair):
+    """one_sample_mis reuses the path BSDF sample for the BSDF-MIS light
+    channel (resolved from the path ray's closest hit, zero extra rays).
+    Same estimator expectation as the default two-sample form, so the
+    converged images must agree within Monte-Carlo noise — and the mode
+    must trace FEWER rays (no CH shadow channel)."""
+    scene, _ = matte_pair
+    cam = default_camera()
+    w = h = 32
+    cfg = RenderConfig(width=w, height=h, num_samples=64, max_bounces=4,
+                       num_working_paths=4096)
+    cfg1 = RenderConfig(width=w, height=h, num_samples=64, max_bounces=4,
+                        num_working_paths=4096, one_sample_mis=True)
+    fb2, st2 = render_frame(scene, cam, cfg, jax.random.key(3))
+    fb1, st1 = render_frame(scene, cam, cfg1, jax.random.key(7))
+    img2 = np.asarray(fb2).reshape(h, w, 3)
+    img1 = np.asarray(fb1).reshape(h, w, 3)
+    assert np.isfinite(img1).all() and (img1 >= 0).all()
+    assert abs(img1.mean() - img2.mean()) < 0.01
+    assert mse(img1, img2) < 0.004
+    assert float(st1["rays_traced"]) < float(st2["rays_traced"])
+
+    with pytest.raises(ValueError):
+        bad = RenderConfig(width=w, height=h, one_sample_mis=True,
+                           reference_parity=True)
+        render_frame(scene, cam, bad, jax.random.key(0))
+
+
 def test_render_deterministic(matte_pair):
     scene, _ = matte_pair
     cam = default_camera()
