@@ -3,9 +3,11 @@
 Replaces the reference's vendored ``happly.h`` (2,017 LoC, /root/reference/
 happly.h).  The reference only uses two accessors — ``getVertexPositions``
 (happly.h:1451) and ``getFaceIndices`` (happly.h:1498, via main.cu:60-62) —
-so this module implements a compact reader for exactly that surface: vertex
-positions and triangulated face indices, for ASCII and binary (LE/BE) PLY,
-with NumPy fast paths instead of happly's per-element C++ parsing.
+served by :func:`load_ply`/:class:`Mesh`; happly's *general* surface
+(arbitrary element/property access, happly.h:123-1232, and ASCII + binary
+LE/BE read/write) is covered by :func:`load_ply_data` /
+:func:`save_ply_data` / :class:`PlyData`, with NumPy fast paths instead of
+happly's per-element C++ parsing.
 """
 
 from __future__ import annotations
@@ -51,18 +53,23 @@ class Mesh:
     faces: np.ndarray     # [F, 3] int64
 
 
-def _parse_header(f) -> tuple[str, list]:
+def _parse_header(f) -> tuple[str, list, list]:
     magic = f.readline().strip()
     if magic not in (b"ply", b"ply\r"):
         raise ValueError("not a PLY file")
     fmt = None
     elements: list[_Element] = []
+    comments: list[str] = []
     while True:
         line = f.readline()
         if not line:
             raise ValueError("unexpected EOF in PLY header")
-        tokens = line.decode("ascii", "replace").split()
-        if not tokens or tokens[0] == "comment" or tokens[0] == "obj_info":
+        text = line.decode("ascii", "replace")
+        tokens = text.split()
+        if not tokens:
+            continue
+        if tokens[0] in ("comment", "obj_info"):
+            comments.append(text.strip())
             continue
         if tokens[0] == "format":
             fmt = tokens[1]
@@ -79,7 +86,7 @@ def _parse_header(f) -> tuple[str, list]:
             break
     if fmt not in ("ascii", "binary_little_endian", "binary_big_endian"):
         raise ValueError(f"unsupported PLY format: {fmt}")
-    return fmt, elements
+    return fmt, elements, comments
 
 
 def _read_ascii(f, elements):
@@ -150,8 +157,28 @@ def _read_binary(f, elements, endian):
                 off += n * idt.itemsize
             data[elem.name] = {p.name: rows}
         else:
-            raise ValueError(
-                f"mixed list/scalar binary element '{elem.name}' not supported")
+            # mixed list/scalar properties: general row-wise parse
+            # (happly.h handles this case; rare in practice, so no fast
+            # path — O(rows x props) python loop)
+            rows = {p.name: [] for p in elem.properties}
+            for _ in range(elem.count):
+                for p in elem.properties:
+                    if p.is_list:
+                        cdt = np.dtype(endian + p.count_dtype)
+                        idt = np.dtype(endian + p.dtype)
+                        n = int(np.frombuffer(buf, cdt, 1, off)[0])
+                        off += cdt.itemsize
+                        rows[p.name].append(
+                            np.frombuffer(buf, idt, n, off).astype(np.int64))
+                        off += n * idt.itemsize
+                    else:
+                        sdt = np.dtype(endian + p.dtype)
+                        rows[p.name].append(
+                            float(np.frombuffer(buf, sdt, 1, off)[0]))
+                        off += sdt.itemsize
+            data[elem.name] = {k: (v if elem.properties[i].is_list
+                                   else np.asarray(v, np.float64))
+                               for i, (k, v) in enumerate(rows.items())}
     return data
 
 
@@ -169,15 +196,20 @@ def _triangulate(faces) -> np.ndarray:
     return np.array(tris, np.int64)
 
 
-def load_ply(path) -> Mesh:
-    """Load vertex positions + triangulated face indices from a PLY file."""
+def _read_file(path):
     with open(path, "rb") as f:
-        fmt, elements = _parse_header(f)
+        fmt, elements, comments = _parse_header(f)
         if fmt == "ascii":
             data = _read_ascii(io.TextIOWrapper(f, "ascii"), elements)
         else:
             endian = "<" if fmt == "binary_little_endian" else ">"
             data = _read_binary(f, elements, endian)
+    return fmt, elements, comments, data
+
+
+def load_ply(path) -> Mesh:
+    """Load vertex positions + triangulated face indices from a PLY file."""
+    fmt, elements, _, data = _read_file(path)
 
     velem = next(e for e in elements if e.name == "vertex")
     vdata = data["vertex"]
@@ -192,35 +224,170 @@ def load_ply(path) -> Mesh:
     return Mesh(vertices=vertices, faces=faces)
 
 
-def save_ply(path, mesh: Mesh, binary: bool = False) -> None:
-    """Write a PLY file (round-trip/debugging utility).
+def save_ply(path, mesh: Mesh, binary: bool = False,
+             big_endian: bool = False) -> None:
+    """Write a triangle-mesh PLY file (round-trip/debugging utility).
 
-    ``binary=True`` writes binary_little_endian 1.0 — the format of
-    bun_zipper.ply and the other happly.h write surface (happly.h supports
-    ASCII + binary LE/BE write; we cover the two formats actually used).
+    ``binary=True`` writes binary 1.0, little-endian by default;
+    ``big_endian=True`` selects binary_big_endian (the remaining happly.h
+    write format, happly.h:1730).
     """
-    fmt = "binary_little_endian" if binary else "ascii"
-    header = ("ply\n"
-              f"format {fmt} 1.0\n"
-              f"element vertex {len(mesh.vertices)}\n"
-              "property float x\nproperty float y\nproperty float z\n"
-              f"element face {len(mesh.faces)}\n"
-              "property list uchar int vertex_indices\nend_header\n")
-    if not binary:
+    # values stay float64 here; the declared type is float32, so ASCII
+    # writes keep full digits while binary writes narrow at pack time
+    # (matching the previous writer's behavior in both formats)
+    data = PlyData(comments=[])
+    data.add_element("vertex", {
+        "x": np.asarray(mesh.vertices[:, 0], np.float64),
+        "y": np.asarray(mesh.vertices[:, 1], np.float64),
+        "z": np.asarray(mesh.vertices[:, 2], np.float64)})
+    data.add_element("face", {
+        "vertex_indices": [np.asarray(fc, np.int64) for fc in mesh.faces]})
+    fmt = ("binary_big_endian" if big_endian else "binary_little_endian") \
+        if binary else "ascii"
+    save_ply_data(path, data, fmt=fmt)
+
+
+# ===================================================== generic PLY access
+# happly.h's general surface (happly.h:123-1232): arbitrary elements and
+# properties, not just vertex positions + faces.
+
+
+@dataclasses.dataclass
+class PlyData:
+    """Generic PLY contents: ``elements[element][property]`` is a float64
+    ``[count]`` array for scalar properties or a list of int64 arrays for
+    list properties (happly's getElement/getProperty surface).
+    ``dtypes[element][property]`` records the declared on-disk type
+    (numpy char codes; ``(count_dtype, dtype)`` for lists) so writes
+    round-trip the original declarations.
+    """
+
+    comments: list = dataclasses.field(default_factory=list)
+    elements: dict = dataclasses.field(default_factory=dict)
+    dtypes: dict = dataclasses.field(default_factory=dict)
+
+    def add_element(self, name: str, props: dict, dtypes: dict | None = None):
+        """Register an element from {prop: array-or-list-of-arrays}.
+        Declared types default to float32 scalars / (uchar, int) lists."""
+        self.elements[name] = props
+        dts = dict(dtypes or {})
+        for pname, val in props.items():
+            if pname not in dts:
+                dts[pname] = ("u1", "i4") if _is_list_prop(val) else "f4"
+        self.dtypes[name] = dts
+        return self
+
+    def counts(self, name: str) -> int:
+        props = self.elements[name]
+        first = next(iter(props.values()))
+        return len(first)
+
+
+def _is_list_prop(val) -> bool:
+    return isinstance(val, list) or (
+        isinstance(val, np.ndarray) and val.dtype == object)
+
+
+def load_ply_data(path) -> PlyData:
+    """Read a PLY file's FULL contents: every element, every property
+    (scalars as float64 arrays, lists as lists of int64 arrays), plus
+    header comments — happly.h's general accessor surface."""
+    fmt, elements, comments, data = _read_file(path)
+    out = PlyData(comments=comments)
+    for elem in elements:
+        props = {}
+        dts = {}
+        for p in elem.properties:
+            val = data[elem.name][p.name]
+            if p.is_list:
+                dts[p.name] = (p.count_dtype, p.dtype)
+                props[p.name] = list(val)
+            else:
+                dts[p.name] = p.dtype
+                props[p.name] = np.asarray(val, np.float64)
+        out.elements[elem.name] = props
+        out.dtypes[elem.name] = dts
+    return out
+
+
+_DTYPE_NAMES = {
+    "i1": "char", "u1": "uchar", "i2": "short", "u2": "ushort",
+    "i4": "int", "u4": "uint", "f4": "float", "f8": "double",
+}
+
+
+def save_ply_data(path, data: PlyData, fmt: str = "ascii") -> None:
+    """Write a :class:`PlyData` in any of the three PLY formats
+    (``ascii``, ``binary_little_endian``, ``binary_big_endian``) —
+    happly.h's full write surface (happly.h:1724-1733)."""
+    if fmt not in ("ascii", "binary_little_endian", "binary_big_endian"):
+        raise ValueError(f"unsupported PLY format: {fmt}")
+    lines = ["ply", f"format {fmt} 1.0"]
+    lines += [c if c.startswith(("comment", "obj_info")) else f"comment {c}"
+              for c in data.comments]
+    for ename, props in data.elements.items():
+        lines.append(f"element {ename} {data.counts(ename)}")
+        for pname, val in props.items():
+            dt = data.dtypes[ename][pname]
+            if _is_list_prop(val):
+                cdt, idt = dt
+                lines.append(f"property list {_DTYPE_NAMES[cdt]} "
+                             f"{_DTYPE_NAMES[idt]} {pname}")
+            else:
+                lines.append(f"property {_DTYPE_NAMES[dt]} {pname}")
+    lines.append("end_header")
+    header = "\n".join(lines) + "\n"
+
+    if fmt == "ascii":
         with open(path, "w") as f:
             f.write(header)
-            for v in mesh.vertices:
-                f.write(f"{v[0]} {v[1]} {v[2]}\n")
-            for fc in mesh.faces:
-                f.write(f"3 {fc[0]} {fc[1]} {fc[2]}\n")
+            for ename, props in data.elements.items():
+                names = list(props)
+                for i in range(data.counts(ename)):
+                    parts = []
+                    for pname in names:
+                        val = props[pname]
+                        if _is_list_prop(val):
+                            row = np.asarray(val[i])
+                            parts.append(" ".join(
+                                [str(len(row))] + [_fmt_ascii(x, data.dtypes[
+                                    ename][pname][1]) for x in row]))
+                        else:
+                            parts.append(_fmt_ascii(val[i],
+                                                    data.dtypes[ename][pname]))
+                    f.write(" ".join(parts) + "\n")
         return
-    verts = np.asarray(mesh.vertices, "<f4")
-    faces = np.asarray(mesh.faces, "<i4")
-    # face rows: uchar count 3 + three int32 indices, packed per row
-    frow = np.zeros(len(faces), dtype=[("n", "u1"), ("idx", "<i4", (3,))])
-    frow["n"] = 3
-    frow["idx"] = faces
+
+    endian = "<" if fmt == "binary_little_endian" else ">"
     with open(path, "wb") as f:
         f.write(header.encode("ascii"))
-        f.write(verts.tobytes())
-        f.write(frow.tobytes())
+        for ename, props in data.elements.items():
+            names = list(props)
+            has_list = any(_is_list_prop(props[p]) for p in names)
+            if not has_list:
+                dt = np.dtype([(p, endian + data.dtypes[ename][p])
+                               for p in names])
+                arr = np.zeros(data.counts(ename), dt)
+                for p in names:
+                    arr[p] = props[p]
+                f.write(arr.tobytes())
+                continue
+            for i in range(data.counts(ename)):
+                for pname in names:
+                    val = props[pname]
+                    if _is_list_prop(val):
+                        cdt, idt = data.dtypes[ename][pname]
+                        row = np.asarray(val[i])
+                        f.write(np.asarray([len(row)],
+                                           endian + cdt).tobytes())
+                        f.write(np.asarray(row, endian + idt).tobytes())
+                    else:
+                        f.write(np.asarray(
+                            [val[i]],
+                            endian + data.dtypes[ename][pname]).tobytes())
+
+
+def _fmt_ascii(x, dtype_code: str) -> str:
+    if dtype_code.startswith(("i", "u")):
+        return str(int(x))
+    return repr(float(x))

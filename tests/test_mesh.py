@@ -79,3 +79,81 @@ def test_save_ply_binary_roundtrip(tmp_path):
     m = load_ply(p)
     np.testing.assert_array_equal(np.asarray(m.vertices, np.float32), v)
     np.testing.assert_array_equal(m.faces, f)
+
+
+# ---------------------------------------------------- generic PLY surface
+# happly.h's general element/property access (happly.h:123-1232) and the
+# full three-format write surface (happly.h:1724-1733).
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("fmt", ["ascii", "binary_little_endian",
+                                  "binary_big_endian"])
+def test_generic_ply_roundtrip(tmp_path, rng, fmt):
+    from rtjax.scene.mesh import PlyData, load_ply_data, save_ply_data
+
+    v = rng.random((5, 3)).astype(np.float32)
+    quality = rng.random(5).astype(np.float32)
+    label = np.arange(5, dtype=np.int64)
+    faces = [np.array([0, 1, 2]), np.array([0, 2, 3, 4])]
+
+    data = PlyData(comments=["comment made by rtjax"])
+    data.add_element("vertex", {
+        "x": v[:, 0], "y": v[:, 1], "z": v[:, 2],
+        "quality": quality, "label": label,
+    }, dtypes={"label": "i4"})
+    data.add_element("face", {"vertex_indices": faces})
+
+    p = tmp_path / "generic.ply"
+    save_ply_data(p, data, fmt=fmt)
+    back = load_ply_data(p)
+
+    assert any("rtjax" in c for c in back.comments)
+    assert set(back.elements) == {"vertex", "face"}
+    bv = back.elements["vertex"]
+    np.testing.assert_allclose(bv["x"], v[:, 0], rtol=1e-6)
+    np.testing.assert_allclose(bv["quality"], quality, rtol=1e-6)
+    np.testing.assert_array_equal(bv["label"].astype(np.int64), label)
+    bf = back.elements["face"]["vertex_indices"]
+    assert len(bf) == 2
+    np.testing.assert_array_equal(bf[0], faces[0])
+    np.testing.assert_array_equal(bf[1], faces[1])
+    # declared on-disk types survive the round trip
+    assert back.dtypes["vertex"]["label"] == "i4"
+    assert back.dtypes["face"]["vertex_indices"] == ("u1", "i4")
+
+
+@_pytest.mark.parametrize("fmt", ["ascii", "binary_little_endian"])
+def test_generic_ply_mixed_list_scalar_element(tmp_path, fmt):
+    """An element mixing scalar and list properties (the case the binary
+    reader used to reject) round-trips through the generic writer."""
+    from rtjax.scene.mesh import PlyData, load_ply_data, save_ply_data
+
+    data = PlyData()
+    data.add_element("patch", {
+        "area": np.array([1.5, 2.5], np.float64),
+        "ring": [np.array([1, 2, 3]), np.array([4, 5])],
+        "weight": np.array([0.25, 0.75], np.float64),
+    })
+    p = tmp_path / "mixed.ply"
+    save_ply_data(p, data, fmt=fmt)
+    back = load_ply_data(p)
+    bp = back.elements["patch"]
+    np.testing.assert_allclose(bp["area"], [1.5, 2.5], rtol=1e-6)
+    np.testing.assert_allclose(bp["weight"], [0.25, 0.75], rtol=1e-6)
+    np.testing.assert_array_equal(bp["ring"][0], [1, 2, 3])
+    np.testing.assert_array_equal(bp["ring"][1], [4, 5])
+
+
+def test_save_ply_big_endian_roundtrip(tmp_path, rng):
+    from rtjax.scene.mesh import Mesh, load_ply, save_ply
+
+    v = rng.random((6, 3)).astype(np.float32).astype(np.float64)
+    f = np.array([[0, 1, 2], [3, 4, 5]], np.int64)
+    p = tmp_path / "be.ply"
+    save_ply(p, Mesh(vertices=v, faces=f), binary=True, big_endian=True)
+    assert b"binary_big_endian" in p.read_bytes()[:120]
+    m = load_ply(p)
+    np.testing.assert_allclose(m.vertices, v, rtol=1e-6)
+    np.testing.assert_array_equal(m.faces, f)
