@@ -186,6 +186,55 @@ def _make_slab_step_row1(n_iters, n_children):
     return f, (pb, o)
 
 
+# --------------------------------------------- slab step, fused accept test
+def _make_slab_step_fused(n_iters, n_children):
+    """_make_slab_step with the fused accept `max(entry,0) <= min(exit,tmax)`
+    (one compare instead of three compares + two ands); semantics identical
+    for every input including NaN boxes."""
+    def kernel(pb_ref, o_ref, out_ref):
+        inv = tuple(o_ref[k] for k in range(3))
+        sc = tuple(o_ref[k + 3] for k in range(3))
+        tmax = o_ref[6]
+
+        def fslab(bb):
+            e0 = bb[0] * inv[0] + sc[0]
+            e1 = bb[1] * inv[1] + sc[1]
+            e2 = bb[2] * inv[2] + sc[2]
+            x0 = bb[3] * inv[0] + sc[0]
+            x1 = bb[4] * inv[1] + sc[1]
+            x2 = bb[5] * inv[2] + sc[2]
+            ent = jnp.maximum(jnp.maximum(jnp.minimum(e0, x0),
+                                          jnp.minimum(e1, x1)),
+                              jnp.minimum(e2, x2))
+            ext = jnp.minimum(jnp.minimum(jnp.maximum(e0, x0),
+                                          jnp.maximum(e1, x1)),
+                              jnp.maximum(e2, x2))
+            return jnp.maximum(ent, 0.0) <= jnp.minimum(ext, tmax)
+
+        def body(carry):
+            acc, i = carry
+            row = pb_ref[pl.ds(i % 1024, 1), :]
+            row_b = jnp.broadcast_to(row, (SUBLANES, 128))
+            b = tuple(_bcast(row_b, k) for k in range(6 * n_children))
+            hits = [fslab(b[6 * c:6 * c + 6]) for c in range(n_children)]
+            nq = (n_children + 7) // 8 * 4
+            s = jnp.int32(0)
+            for j in range(nq):
+                pair = hits[2 * j].astype(jnp.int32) * 32768 \
+                    + hits[2 * j + 1].astype(jnp.int32)
+                s = s + jnp.sum(pair)
+            return acc + s, i + 1
+
+        out = jax.lax.while_loop(lambda c: c[1] < n_iters, body,
+                                 (jnp.int32(0), jnp.int32(0)))
+        out_ref[0] = out[0]
+
+    pb = jnp.asarray(np.random.rand(1024, 128), jnp.float32)
+    o = jnp.asarray(np.random.rand(7, SUBLANES, 128), jnp.float32)
+    f = jax.jit(lambda pb, o: _smem_out_call(kernel, pb, o))
+    return f, (pb, o)
+
+
 # ------------------------------------------------------------ leaf MT (VPU)
 def make_leaf_mt_vpu(n_iters, serialize=True, row1=False):
     """Current leaf visit: broadcast row + 8 unrolled MT tests.
@@ -231,6 +280,67 @@ def make_leaf_mt_vpu(n_iters, serialize=True, row1=False):
                 tmax = jnp.where(h & (tt < tmax), tt, tmax)
                 t = jnp.where(h & (tt <= t), tt, t)
                 prim = jnp.where(h & (tt <= t), pid.astype(jnp.int32), prim)
+            return tmax, t, prim, i + 1
+
+        init = (jnp.full((SUBLANES, 128), BIG, jnp.float32),
+                jnp.full((SUBLANES, 128), BIG, jnp.float32),
+                jnp.full((SUBLANES, 128), -1, jnp.int32), jnp.int32(0))
+        out = jax.lax.while_loop(lambda c: c[3] < n_iters, body, init)
+        out_ref[0] = jnp.sum(out[2])
+
+    lt = jnp.asarray(np.random.rand(1024, 128), jnp.float32)
+    o = jnp.asarray(np.random.rand(6, SUBLANES, 128), jnp.float32)
+    f = jax.jit(lambda lt, o: _smem_out_call(kernel, lt, o))
+    return f, (lt, o)
+
+
+# ------------------------------------------- leaf MT (VPU), division-free
+def make_leaf_mt_vpu_nodiv(n_iters):
+    """Sign-flip MT accept (the MXU drain's rule, pallas_wide._mxu_drain_loop)
+    on the VPU: no per-slot division; cross-slot 'closer' via cross-
+    multiplication (at/adet < bat/badet <=> at*badet < bat*adet, positive
+    denominators); ONE division per visit for the winning t."""
+    PID_BASE = 96
+
+    def kernel(lt_ref, o_ref, out_ref):
+        o = tuple(o_ref[k] for k in range(3))
+        d = tuple(o_ref[k + 3] for k in range(3))
+
+        def body(carry):
+            tmax, t, prim, i = carry
+            row_b = jnp.broadcast_to(lt_ref[pl.ds(i % 1024, 1), :], (8, 128))
+            bat = jnp.full((SUBLANES, 128), BIG, jnp.float32)
+            badet = jnp.ones((SUBLANES, 128), jnp.float32)
+            bprim = jnp.full((SUBLANES, 128), -1, jnp.int32)
+            for slot in range(8):
+                base = 12 * slot
+                lanes = list(range(base, base + 12)) + [PID_BASE + slot]
+                v = tuple(jnp.take_along_axis(
+                    row_b, jnp.full(row_b.shape, k, jnp.int32), 1)[0:1]
+                    for k in lanes)
+                (p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z,
+                 nx, ny, nz, pid) = v
+                cx = p0x - o[0]; cy = p0y - o[1]; cz = p0z - o[2]
+                rx = d[1] * cz - d[2] * cy
+                ry = d[2] * cx - d[0] * cz
+                rz = d[0] * cy - d[1] * cx
+                det = d[0] * nx + d[1] * ny + d[2] * nz
+                s = jnp.where(det < 0.0, -1.0, 1.0)
+                adet = det * s
+                au = (e2x * rx + e2y * ry + e2z * rz) * s
+                av = (e1x * rx + e1y * ry + e1z * rz) * s
+                at = (cx * nx + cy * ny + cz * nz) * s
+                h = (au >= 0.) & (av >= 0.) & (au + av <= adet) & \
+                    (at > 0.) & (at <= tmax * adet)
+                closer = h & (at * badet < bat * adet)
+                bat = jnp.where(closer, at, bat)
+                badet = jnp.where(closer, adet, badet)
+                bprim = jnp.where(closer, pid.astype(jnp.int32), bprim)
+            ok = bprim >= 0
+            bt = bat / badet  # ONE division per visit
+            tmax = jnp.where(ok, bt, tmax)
+            t = jnp.where(ok, bt, t)
+            prim = jnp.where(ok, bprim, prim)
             return tmax, t, prim, i + 1
 
         init = (jnp.full((SUBLANES, 128), BIG, jnp.float32),
@@ -712,7 +822,12 @@ ALL = {
     "slab_wide4": (partial(_make_slab_step, n_children=4), 30_000),
     "slab_wide8": (partial(_make_slab_step, n_children=8), 30_000),
     "slab_wide8_row1": (partial(_make_slab_step_row1, n_children=8), 30_000),
+    "slab_wide8_fused": (partial(_make_slab_step_fused, n_children=8),
+                         30_000),
+    "slab_wide16_fused": (partial(_make_slab_step_fused, n_children=16),
+                          30_000),
     "leaf_mt_vpu": (make_leaf_mt_vpu, 20_000),
+    "leaf_mt_vpu_nodiv": (make_leaf_mt_vpu_nodiv, 20_000),
     "leaf_mt_vpu_row1": (partial(make_leaf_mt_vpu, row1=True), 20_000),
     "leaf_mt_vpu_par": (partial(make_leaf_mt_vpu, serialize=False), 20_000),
     "leaf_mt_mxu_f32": (partial(make_leaf_mt_mxu, dtype=jnp.float32), 20_000),

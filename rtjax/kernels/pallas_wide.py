@@ -487,7 +487,12 @@ def _slab(b, inv, sc, tmax):
                         jnp.minimum(e2, x2))
     exit_ = jnp.minimum(jnp.minimum(jnp.maximum(e0, x0), jnp.maximum(e1, x1)),
                         jnp.maximum(e2, x2))
-    return (entry <= exit_) & (exit_ >= 0.0) & (entry <= tmax)
+    # fused accept: max(entry, 0) <= min(exit, tmax)  <=>  the reference's
+    # (entry <= exit) & (exit >= 0) & (entry <= tmax) for every input
+    # (including NaN boxes -> false and occluded lanes' tmax = -BIG): one
+    # compare instead of three compares + two ands, and the walk step is
+    # vector-issue bound (8 children x ~27 slab ops dominate the round).
+    return jnp.maximum(entry, 0.0) <= jnp.minimum(exit_, tmax)
 
 
 def _hit_mask8(hits):
