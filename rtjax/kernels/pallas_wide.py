@@ -52,7 +52,15 @@ import os as _os
 
 SUBLANES = int(_os.environ.get("RTJAX_SUBLANES", "16"))
 TILE = SUBLANES * 128
-WIDTH = 8             # children per wide node
+WIDTH = 8             # default children per wide node (see also WIDTH16)
+WIDTH16 = 16          # the 16-wide variant: one step slab-tests 16 children
+                      # at 1.34x the 8-wide step cost (micro_kernel
+                      # slab_wide16_fused: 456 vs 340 ns) while node count
+                      # roughly halves — net walk win on every packet class.
+                      # Constraint: the mask-stack entry packs
+                      # (node << width+1 | mask << 1 | rev) into one int32,
+                      # so 16-wide trees are capped at 2^14 nodes (~2M tris);
+                      # bigger scenes stay 8-wide (+ packed node rows).
 MAX_LEAF = 8          # triangles per leaf row (96 floats + 8 ids = 104 lanes)
 PID_BASE = 12 * MAX_LEAF
 STACK_SIZE = 1024     # shared by all walks (generous; overflow faults SMEM)
@@ -60,13 +68,17 @@ QUEUE_CAP = 24        # leaf visits buffered between drains (stale-tmax window)
 NUM_WALKS = 3
 MT_SUBLANES = 8       # leaf rows broadcast to ONE vreg for the drain's
                       # lane gathers (see _bcast_lanes_row1)
-# the cap check runs once per walk round; a round can append WIDTH per walk
-Q_ALLOC = QUEUE_CAP + NUM_WALKS * WIDTH
+# the cap check runs once per walk round; a round can append `width` per
+# walk — allocate for the widest variant
+Q_ALLOC = QUEUE_CAP + NUM_WALKS * WIDTH16
 BIG = 3.4e38
 IDLE = -1
-META_BASE = 6 * WIDTH  # bounds-row lanes 48..55: child meta as f32
+META_BASE = 6 * WIDTH  # 8-wide bounds-row lanes 48..55: child meta as f32
 INFO_LANE = META_BASE + WIDTH  # lane 56: node info as f32
+# (for a 16-wide node the same layout lands at lanes 96..111 + 112: a
+# 16-child node still fits ONE 128-lane row — 96 bounds + 16 meta + info)
 SMEM_META_CAP = 768 << 10  # child_meta+node_info bytes that may live in SMEM
+MAX_NODES16 = 1 << 14  # 16-wide node cap (stack-entry node field)
 
 
 # ============================================================ host-side build
@@ -74,20 +86,23 @@ SMEM_META_CAP = 768 << 10  # child_meta+node_info bytes that may live in SMEM
 @partial(jax.tree_util.register_dataclass,
          data_fields=["node_bounds", "child_meta", "node_info", "leaf_tris",
                       "leaf_amat", "leaf_rec"],
-         meta_fields=["packed_nodes", "n_nodes"])
+         meta_fields=["packed_nodes", "n_nodes", "width"])
 @dataclasses.dataclass(frozen=True)
 class WideTables:
-    """Device tables for the wide packet kernel.
+    """Device tables for the wide packet kernel (``width`` = 8 or 16).
 
     node_bounds [M, 128] f32: child c's (bmin, bmax) at lanes [6c, 6c+6);
       empty slots are NaN boxes (every slab comparison is false).
-      With ``packed_nodes`` the rows hold TWO nodes each (node n at row
-      n >> 1, lane offset (n & 1) * 64 — a node's used lanes stop at 56),
-      halving the node-row VMEM so scenes to ~4M tris keep the Pallas
-      path; the kernel selects the half with one dynamic lane roll.
-    child_meta [M * 8] i32 (SMEM): (value << 4) | count; count > 0 => leaf
-      (value = leaf row), count == 0 => internal (value = wide node index).
-    node_info [M] i32 (SMEM): (axis << 8) | leaf_mask — axis = dominant
+      With ``packed_nodes`` (8-wide only) the rows hold TWO nodes each
+      (node n at row n >> 1, lane offset (n & 1) * 64 — an 8-wide node's
+      used lanes stop at 56), halving the node-row VMEM so scenes to ~4M
+      tris keep the Pallas path; the kernel selects the half with one
+      dynamic lane roll.  A 16-wide node uses lanes 0..112 (96 bounds + 16
+      meta mirrors + info) — always one node per row.
+    child_meta [M * width] i32 (SMEM): (value << 4) | count; count > 0 =>
+      leaf (value = leaf row), count == 0 => internal (value = wide node
+      index).
+    node_info [M] i32 (SMEM): (axis << width) | leaf_mask — axis = dominant
       child-sort axis (traversal-order hint), leaf_mask bit c set iff child c
       is a leaf (or empty; empties never hit).
     leaf_tris [L, 128] f32: MAX_LEAF triangles (p0,e1,e2,n — the reference's
@@ -116,6 +131,7 @@ class WideTables:
     leaf_rec: jax.Array | None = None
     packed_nodes: bool = False  # static: two nodes per bounds row
     n_nodes: int = -1           # static: node count when packed (rows != nodes)
+    width: int = WIDTH          # static: children per wide node (8 or 16)
 
     @property
     def num_wide_nodes(self) -> int:
@@ -135,7 +151,8 @@ class WideTables:
                           leaf_amat=j(self.leaf_amat),
                           leaf_rec=j(self.leaf_rec),
                           packed_nodes=self.packed_nodes,
-                          n_nodes=self.n_nodes)
+                          n_nodes=self.n_nodes,
+                          width=self.width)
 
 
 def pack_node_rows(tables: WideTables) -> WideTables:
@@ -146,7 +163,8 @@ def pack_node_rows(tables: WideTables) -> WideTables:
     node-row VMEM, which is the single-BLAS scene-size ceiling (the ~60 MB
     node budget capped scenes at ~2M triangles; packed rows double that).
     """
-    assert not tables.packed_nodes
+    assert not tables.packed_nodes and tables.width == WIDTH, \
+        "packed node rows are an 8-wide layout (16-wide rows have no room)"
     nb = np.asarray(tables.node_bounds)
     m = nb.shape[0]
     m2 = (m + 1) // 2
@@ -231,6 +249,119 @@ def collapse_wide(bmin, bmax, left_first, num_prims, width=WIDTH):
         children[wi] = entry
         axes[wi] = axis
     return children, axes
+
+
+def collapse_wide_dp(bmin, bmax, left_first, num_prims, width=WIDTH):
+    """Optimal binary->wide collapse by bottom-up dynamic programming.
+
+    The greedy area-first collapse (:func:`collapse_wide`) fragments at
+    higher widths: a full group's leftover internal children root SMALL
+    subtrees, each spawning a nearly-empty wide node (measured on the
+    bunny: 3,154 sixteen-wide nodes vs 2,920 eight-wide — the wider tree
+    was WORSE).  This DP (the flat-cost case of Ylitie et al. 2017's
+    BVH8 construction) minimizes the true walk-cost proxy instead: the sum
+    of half-areas of the chosen wide-node roots (a random ray's expected
+    node visits is proportional to that sum).
+
+    Recurrences over the binary tree, bottom-up, with budgets s = 1..W:
+      G[x, s] = cheapest cost of REPRESENTING subtree x in s frontier
+                slots = min(F[x],  min_k G[l, k] + G[r, s-k])
+      F[x]    = cost of making x a wide-node root
+              = area(x) + min_{k} G[l, k] + G[r, W-k]
+    Leaves: G = 0 (they occupy a slot for free — leaf visits do not depend
+    on the collapse).  Frontiers are reconstructed top-down by re-running
+    the argmins.  Same return contract as :func:`collapse_wide`.
+    """
+    is_leaf_a = np.asarray(num_prims) > 0
+    if is_leaf_a[0]:
+        return [[(0, 0, True)]], [0]
+
+    bmin = np.asarray(bmin, np.float32)
+    bmax = np.asarray(bmax, np.float32)
+    d = np.maximum(bmax - bmin, 0)
+    area = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+    left = np.asarray(left_first, np.int64)
+    m = len(left)
+
+    # level order (children before parents when reversed): internal x has
+    # children (left[x], left[x]+1)
+    levels = [np.array([0], np.int64)]
+    while True:
+        ints = levels[-1][~is_leaf_a[levels[-1]]]
+        if ints.size == 0:
+            break
+        l = left[ints]
+        levels.append(np.concatenate([l, l + 1]))
+
+    INF = np.float32(3e38)
+    G = np.zeros((m, width + 1), np.float32)  # G[:, 0] unused
+    F = np.zeros(m, np.float32)
+    for lev in reversed(levels):
+        ints = lev[~is_leaf_a[lev]]
+        if ints.size == 0:
+            continue
+        A = G[left[ints]]        # [N, W+1]
+        B = G[left[ints] + 1]
+        E = np.full((len(ints), width + 1), INF, np.float32)
+        for s in range(2, width + 1):
+            E[:, s] = (A[:, 1:s] + B[:, s - 1:0:-1]).min(axis=1)
+        F[ints] = area[ints] + E[:, width]
+        G[ints, 1] = F[ints]
+        for s in range(2, width + 1):
+            G[ints, s] = np.minimum(F[ints], E[:, s])
+
+    cent = 0.5 * (bmin + bmax)
+    Gl = G  # alias for closures below
+
+    def frontier(x, s, out):
+        """Collect subtree x's frontier within s slots into ``out``."""
+        stack = [(int(x), int(s))]
+        while stack:
+            x, s = stack.pop()
+            if is_leaf_a[x] or (s == 1) or (Gl[x, s] == F[x]
+                                            and not is_leaf_a[x]):
+                # leaf slot, or internal that becomes its own wide root
+                out.append(x)
+                continue
+            l = int(left[x])
+            ks = np.arange(1, s)
+            k = int(ks[np.argmin(Gl[l, 1:s] + Gl[l + 1, s - 1:0:-1])])
+            stack.append((l, k))
+            stack.append((l + 1, s - k))
+
+    children: list[list[tuple[int, int, bool]] | None] = [None]
+    axes: list[int] = [0]
+    pending: list[tuple[int, int]] = [(0, 0)]
+    while pending:
+        b, wi = pending.pop()
+        l = int(left[b])
+        ks = np.arange(1, width)
+        k = int(ks[np.argmin(Gl[l, 1:width] + Gl[l + 1, width - 1:0:-1])])
+        grp: list[int] = []
+        frontier(l, k, grp)
+        frontier(l + 1, width - k, grp)
+        spans = [cent[grp, a].max() - cent[grp, a].min() for a in range(3)]
+        axis = int(np.argmax(spans))
+        grp.sort(key=lambda g: cent[g, axis])  # stable
+
+        entry = []
+        for g in grp:
+            if is_leaf_a[g]:
+                entry.append((g, g, True))
+            else:
+                ref = len(children)
+                children.append(None)
+                axes.append(0)
+                pending.append((g, ref))
+                entry.append((g, ref, False))
+        children[wi] = entry
+        axes[wi] = axis
+    return children, axes
+
+
+DP_COLLAPSE_CAP = 3_000_000  # binary nodes; beyond this the O(M * W^2) DP
+                             # tables get heavy on the 1-vCPU build host —
+                             # fall back to the greedy collapse
 
 
 def pack_leaf_rows(leaves, left_first, num_prims, p0, e1, e2, n_vec,
@@ -375,21 +506,33 @@ AMAT_LEAF_CAP = 1 << 17  # build MXU A-matrices only up to ~1M tris: the
 
 def build_wide_tables(res: BuildResult, p0, e1, e2, n_vec,
                       prim_ids=None, as_numpy=False,
-                      with_amat: bool | None = None) -> WideTables:
+                      with_amat: bool | None = None,
+                      width: int = WIDTH) -> WideTables:
     """Collapse a binary BuildResult + leaf-ordered triangles into wide
-    kernel tables.
+    kernel tables (``width`` = 8 or 16 children per node).
 
     ``as_numpy=True`` keeps the tables host-side (call ``.device()`` to
     place them) — building on numpy avoids device round-trips when tables
     are post-processed (concat_wide_tables), which cost minutes through a
     remote-TPU tunnel."""
+    assert width in (WIDTH, WIDTH16)
     m = res.num_nodes
     bmin = np.asarray(res.bmin[:m], np.float32)
     bmax = np.asarray(res.bmax[:m], np.float32)
     left_first = np.asarray(res.left_first[:m], np.int64)
     num_prims = np.asarray(res.num_prims[:m], np.int64)
 
-    children, axes = collapse_wide(bmin, bmax, left_first, num_prims)
+    collapse = (collapse_wide_dp if m <= DP_COLLAPSE_CAP
+                and _os.environ.get("RTJAX_COLLAPSE") != "greedy"
+                else collapse_wide)
+    children, axes = collapse(bmin, bmax, left_first, num_prims, width=width)
+    if width != WIDTH and len(children) > MAX_NODES16:
+        # 16-wide stack entries cap the tree at 2^14 nodes; degenerate
+        # trees (deep median-split chains) can exceed the caller's
+        # estimate — fall back to the 8-wide layout transparently
+        width = WIDTH
+        children, axes = collapse(bmin, bmax, left_first, num_prims,
+                                  width=width)
     n_wide = len(children)
 
     leaf_nodes = [g for grp in children for (g, _, lf) in grp if lf]
@@ -406,7 +549,7 @@ def build_wide_tables(res: BuildResult, p0, e1, e2, n_vec,
         amat = lrec = None
 
     node_bounds = np.full((n_wide, 128), np.nan, np.float32)
-    child_meta = np.zeros((n_wide, WIDTH), np.int32)
+    child_meta = np.zeros((n_wide, width), np.int32)
     node_info = np.zeros(n_wide, np.int32)
     # flatten the (node, child) fill into vectorized scatters (a per-slice
     # python loop cost ~90 s at 1M tris)
@@ -422,7 +565,7 @@ def build_wide_tables(res: BuildResult, p0, e1, e2, n_vec,
                 fm.append((leaf_row_of[g] << 4) | int(num_prims[g]))
             else:
                 fm.append(ref << 4)
-        for c in range(len(grp), WIDTH):
+        for c in range(len(grp), width):
             lm |= 1 << c  # empty: leaf-marked, count 0, NaN box never hits
         flm[i] = lm
     fi = np.asarray(fi); fc = np.asarray(fc); fg = np.asarray(fg)
@@ -432,21 +575,21 @@ def build_wide_tables(res: BuildResult, p0, e1, e2, n_vec,
         node_bounds[fi, 6 * fc + k] = lo[:, k]
         node_bounds[fi, 6 * fc + 3 + k] = hi[:, k]
     child_meta[fi, fc] = np.asarray(fm, np.int32)
-    node_info[:] = (np.asarray(axes, np.int64) << 8) | flm
+    node_info[:] = (np.asarray(axes, np.int64) << width) | flm
 
     # meta mirrored into spare bounds-row lanes (exact int-valued f32):
     # big scenes whose child_meta/node_info would overflow SMEM read these
     # via static-lane scalar VMEM loads instead (meta_vmem kernel mode)
     assert n_wide < (1 << 20) and len(leaf_nodes) < (1 << 20), \
         "meta refs must stay exact as f32 (< 2^24 after << 4)"
-    node_bounds[:, META_BASE:META_BASE + WIDTH] = child_meta.astype(np.float32)
-    node_bounds[:, INFO_LANE] = node_info.astype(np.float32)
+    node_bounds[:, 6 * width:7 * width] = child_meta.astype(np.float32)
+    node_bounds[:, 7 * width] = node_info.astype(np.float32)
 
     out = WideTables(node_bounds=node_bounds,
                      child_meta=child_meta.reshape(-1),
                      node_info=node_info,
                      leaf_tris=leaf_tris,
-                     leaf_amat=amat, leaf_rec=lrec)
+                     leaf_amat=amat, leaf_rec=lrec, width=width)
     return out if as_numpy else out.device()
 
 
@@ -496,12 +639,12 @@ def _slab(b, inv, sc, tmax):
 
 
 def _hit_mask8(hits):
-    """8 child-hit tiles -> one 8-bit scalar mask via 4 packed reductions
+    """N child-hit tiles -> one N-bit scalar mask via N/2 packed reductions
     (two 16-bit count fields per int32; counts <= TILE < 2^15).  (A single
     max-reduce of a per-lane bitmask would be cheaper but is WRONG: max
     picks one lane's mask, it is not a per-bit OR across lanes.)"""
     mask = jnp.int32(0)
-    for j in range(4):
+    for j in range(len(hits) // 2):
         s = jnp.sum(hits[2 * j].astype(jnp.int32) * 32768
                     + hits[2 * j + 1].astype(jnp.int32))
         mask = mask | ((s >= 32768).astype(jnp.int32) << (2 * j)) \
@@ -597,12 +740,12 @@ def _mt8_any(row_b, o, d, tmax, exclude):
     return hit_any
 
 
-def _smem_meta(cm_ref, ni_ref):
+def _smem_meta(cm_ref, ni_ref, width=WIDTH):
     """Meta accessors over the SMEM tables (fast path): direct dynamic
     indexing."""
 
     def cm_at(node):
-        return lambda c: cm_ref[node * WIDTH + c]
+        return lambda c: cm_ref[node * width + c]
 
     def info_read(node):
         return ni_ref[node]
@@ -610,35 +753,39 @@ def _smem_meta(cm_ref, ni_ref):
     return cm_at, info_read
 
 
-def _vmem_meta(nb_ref, packed=False):
+def _vmem_meta(nb_ref, packed=False, width=WIDTH):
     """Meta accessors over the bounds-row mirror lanes (big-scene path).
 
-    Scalar VMEM loads need STATIC lane indices (Mosaic), so a node's 8
-    child metas are loaded up front from lanes META_BASE..+7 and a dynamic
-    child pick becomes a select chain.  Frees SMEM of all per-node data —
-    the scene size cap moves from ~1 MB SMEM to the VMEM node-row budget.
+    Scalar VMEM loads need STATIC lane indices (Mosaic), so a node's
+    ``width`` child metas are loaded up front from lanes 6*width.. and a
+    dynamic child pick becomes a select chain.  Frees SMEM of all per-node
+    data — the scene size cap moves from ~1 MB SMEM to the VMEM node-row
+    budget.
 
-    With ``packed`` rows (two nodes per row) the half offset is dynamic
-    but lanes must be static: load BOTH halves' lanes and select by the
-    node's parity (16 loads + 8 selects instead of 8 loads).
+    With ``packed`` rows (8-wide only, two nodes per row) the half offset
+    is dynamic but lanes must be static: load BOTH halves' lanes and select
+    by the node's parity (16 loads + 8 selects instead of 8 loads).
     """
+    meta_base = 6 * width
+    info_lane = 7 * width
+    assert not (packed and width != WIDTH)
 
     def cm_at(node):
         if packed:
             r = node >> 1
-            lo = [nb_ref[r, META_BASE + c].astype(jnp.int32)
-                  for c in range(WIDTH)]
-            hi = [nb_ref[r, 64 + META_BASE + c].astype(jnp.int32)
-                  for c in range(WIDTH)]
+            lo = [nb_ref[r, meta_base + c].astype(jnp.int32)
+                  for c in range(width)]
+            hi = [nb_ref[r, 64 + meta_base + c].astype(jnp.int32)
+                  for c in range(width)]
             odd = (node & 1) != 0
             ms = [jnp.where(odd, h, l) for l, h in zip(lo, hi)]
         else:
-            ms = [nb_ref[node, META_BASE + c].astype(jnp.int32)
-                  for c in range(WIDTH)]
+            ms = [nb_ref[node, meta_base + c].astype(jnp.int32)
+                  for c in range(width)]
 
         def read(c):
-            v = ms[WIDTH - 1]
-            for k in range(WIDTH - 2, -1, -1):
+            v = ms[width - 1]
+            for k in range(width - 2, -1, -1):
                 v = jnp.where(c == k, ms[k], v)
             return v
 
@@ -648,9 +795,9 @@ def _vmem_meta(nb_ref, packed=False):
         if packed:
             r = node >> 1
             return jnp.where((node & 1) != 0,
-                             nb_ref[r, 64 + INFO_LANE].astype(jnp.int32),
-                             nb_ref[r, INFO_LANE].astype(jnp.int32))
-        return nb_ref[node, INFO_LANE].astype(jnp.int32)
+                             nb_ref[r, 64 + info_lane].astype(jnp.int32),
+                             nb_ref[r, info_lane].astype(jnp.int32))
+        return nb_ref[node, info_lane].astype(jnp.int32)
 
     return cm_at, info_read
 
@@ -671,9 +818,10 @@ def _node_row(nb_ref, packed=False):
     return row_at
 
 
-def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant, on_enqueue=None):
-    """One branch-free step of one walk: slab 8 children of its cursor,
-    queue leaf hits, descend/push/pop on the shared stack.
+def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant, on_enqueue=None,
+               width=WIDTH):
+    """One branch-free step of one walk: slab all ``width`` children of its
+    cursor, queue leaf hits, descend/push/pop on the shared stack.
 
     An idle walk (cur == IDLE) executes the same vector code on node 0 with
     its hit mask forced to 0, then steals from the shared stack (pop path).
@@ -682,20 +830,22 @@ def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant, on_enqueue=None):
     the walk chunk.  Returns (new_cur, new_sp, new_qn).
     """
     row_at, cm_at, info_read, stack_ref, q_ref = refs
+    mask_all = (1 << width) - 1
+    shift = width + 1  # stack entry: (node << shift) | (mask << 1) | rev
     active = cur != IDLE
     node = jnp.maximum(cur, 0)
 
     row_b = row_at(node)
-    b = _bcast_lanes(row_b, range(6 * WIDTH))
-    hits = [_slab(b[6 * c:6 * c + 6], inv, sc, tmax) for c in range(WIDTH)]
+    b = _bcast_lanes(row_b, range(6 * width))
+    hits = [_slab(b[6 * c:6 * c + 6], inv, sc, tmax) for c in range(width)]
     mask = jnp.where(active, _hit_mask8(hits), 0)
 
     info = info_read(node)
-    lm = info & 255
-    axis = (info >> 8) & 3
+    lm = info & mask_all
+    axis = (info >> width) & 3
     rev = (octant >> axis) & 1
     leaf_hits = mask & lm
-    int_hits = mask & ~lm & 255
+    int_hits = mask & ~lm & mask_all
     cm_node = cm_at(node)
 
     # append leaf metas to the drain queue (scalar-only loop, trips 0..8)
@@ -717,7 +867,7 @@ def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant, on_enqueue=None):
 
     @pl.when(has & (rest != 0))
     def _():
-        stack_ref[sp] = (node << 9) | (rest << 1) | rev
+        stack_ref[sp] = (node << shift) | (rest << 1) | rev
     sp = jnp.where(has & (rest != 0), sp + 1, sp)
     nxt_direct = cm_node(first) >> 4
 
@@ -725,8 +875,8 @@ def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant, on_enqueue=None):
     # remainder back in place (or retire the entry)
     can_pop = sp > 0
     entry = stack_ref[jnp.maximum(sp - 1, 0)]
-    pnode = entry >> 9
-    pmask = (entry >> 1) & 255
+    pnode = entry >> shift
+    pmask = (entry >> 1) & mask_all
     prev = entry & 1
     pfirst = _pick(pmask, prev)
     prest = pmask & ~(1 << pfirst)
@@ -734,7 +884,7 @@ def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant, on_enqueue=None):
 
     @pl.when(do_pop & (prest != 0))
     def _():
-        stack_ref[sp - 1] = (pnode << 9) | (prest << 1) | prev
+        stack_ref[sp - 1] = (pnode << shift) | (prest << 1) | prev
     sp = jnp.where(do_pop & (prest == 0), sp - 1, sp)
     nxt_pop = cm_at(pnode)(pfirst) >> 4
 
@@ -755,7 +905,7 @@ def _never(_ds):
 
 
 def _run_walk(refs, inv, sc, octant, root, tmax, ds, drain_loop, stop_fn,
-              rounds, leafs, on_enqueue=None):
+              rounds, leafs, on_enqueue=None, width=WIDTH):
     """Walk one (sub)tree to completion: alternate branch-free walk chunks
     with pipelined leaf-queue drains (module docstring, items 2-3).
 
@@ -777,14 +927,14 @@ def _run_walk(refs, inv, sc, octant, root, tmax, ds, drain_loop, stop_fn,
         # walk chunk: step all walks until the queue nears capacity
         def walk_cond(c2):
             curs, sp, qn, _ = c2
-            return _alive(curs, sp) & (qn <= QUEUE_CAP - WIDTH)
+            return _alive(curs, sp) & (qn <= QUEUE_CAP - width)
 
         def walk_body(c2):
             curs, sp, qn, rounds = c2
             new = []
             for w in range(NUM_WALKS):
                 cw, sp, qn = _walk_step(curs[w], sp, qn, tmax, refs, inv,
-                                        sc, octant, on_enqueue)
+                                        sc, octant, on_enqueue, width)
                 new.append(cw)
             return tuple(new), sp, qn, rounds + 1
 
@@ -1059,7 +1209,7 @@ def _anyhit_drain(o, d, exclude):
 
 def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
                          mxu_drain: bool = False,
-                         packed_nodes: bool = False):
+                         packed_nodes: bool = False, width: int = WIDTH):
   """Wide closest-hit kernel: in-kernel tile loop (tables DMA'd once), per
   tile an outer loop alternating walk chunks and leaf-queue drains.
 
@@ -1078,11 +1228,11 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
   def kernel(*args):
     if meta_vmem:
         o_ref, d_ref, t_ref, act_ref, nb_ref, lt_ref, *rest = args
-        cm_at, info_read = _vmem_meta(nb_ref, packed_nodes)
+        cm_at, info_read = _vmem_meta(nb_ref, packed_nodes, width)
     else:
         (o_ref, d_ref, t_ref, act_ref, ni_ref, cm_ref, nb_ref, lt_ref,
          *rest) = args
-        cm_at, info_read = _smem_meta(cm_ref, ni_ref)
+        cm_at, info_read = _smem_meta(cm_ref, ni_ref, width)
     row_at = _node_row(nb_ref, packed_nodes)
     if mxu_drain:
         phi_ref = rest[0]
@@ -1131,7 +1281,8 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
                  (jnp.zeros_like(tmax),) * 3)
       rounds, leafs, _, ds = _run_walk(
           refs, inv, sc, octant, jnp.where(any_valid, 0, IDLE), tmax, ds0,
-          dloop, _never, jnp.int32(0), jnp.int32(0), on_enqueue=on_enq)
+          dloop, _never, jnp.int32(0), jnp.int32(0), on_enqueue=on_enq,
+          width=width)
       if mxu_drain:
           t = ds[0].reshape(SUBLANES, 128)
           prim = ds[1].reshape(SUBLANES, 128)
@@ -1155,18 +1306,18 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
 
 
 def _make_anyhit_kernel(leaf_hbm: bool, meta_vmem: bool = False,
-                        packed_nodes: bool = False):
+                        packed_nodes: bool = False, width: int = WIDTH):
   """Wide any-hit kernel with excluded prim id; early exit once every valid
   lane is occluded (bvh.cuh:318,328).  See _make_closest_kernel."""
 
   def kernel(*args):
     if meta_vmem:
         o_ref, d_ref, t_ref, act_ref, ex_ref, nb_ref, lt_ref, *rest = args
-        cm_at, info_read = _vmem_meta(nb_ref, packed_nodes)
+        cm_at, info_read = _vmem_meta(nb_ref, packed_nodes, width)
     else:
         (o_ref, d_ref, t_ref, act_ref, ex_ref, ni_ref, cm_ref, nb_ref,
          lt_ref, *rest) = args
-        cm_at, info_read = _smem_meta(cm_ref, ni_ref)
+        cm_at, info_read = _smem_meta(cm_ref, ni_ref, width)
     row_at = _node_row(nb_ref, packed_nodes)
     occ_ref, st_ref, stack_ref, q_ref, *dma = rest
     n_tiles = occ_ref.shape[0]
@@ -1190,7 +1341,7 @@ def _make_anyhit_kernel(leaf_hbm: bool, meta_vmem: bool = False,
       rounds, leafs, _, occluded = _run_walk(
           refs, inv, sc, octant, jnp.where(any_valid, 0, IDLE), tmax_all,
           jnp.zeros(tmax_all.shape, jnp.int32), dloop, stop,
-          jnp.int32(0), jnp.int32(0))
+          jnp.int32(0), jnp.int32(0), width=width)
       occ_ref[ti] = jnp.where((occluded != 0) & valid, 1, 0)
       st_ref[ti, 0] = rounds
       st_ref[ti, 1] = leafs
@@ -1244,6 +1395,8 @@ def concat_wide_tables(parts):
     """
     assert all(not t.packed_nodes for t in parts), \
         "concat_wide_tables needs unpacked node rows (pack last)"
+    assert all(t.width == WIDTH for t in parts), \
+        "the two-level (instanced) kernels are 8-wide"
     node_off, leaf_off = [], []
     nb, cm, ni, lt, am, lp = [], [], [], [], [], []
     n_nodes = n_leaves = 0
@@ -1684,7 +1837,7 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
     out_shape += [jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32)]
     outs = pl.pallas_call(
         _make_closest_kernel(leaf_hbm, meta_vmem, mxu_drain,
-                             tables.packed_nodes),
+                             tables.packed_nodes, tables.width),
         in_specs=in_specs,
         out_specs=[_VMEM] * (n_out - 1) + [_SMEM],
         out_shape=out_shape,
@@ -1749,7 +1902,8 @@ def wide_traverse_anyhit(tables: WideTables, origin, direction, tmax,
         ins = (o, d, tm, act, ex, tables.node_info, tables.child_meta,
                tables.node_bounds, tables.leaf_tris)
     occ, st = pl.pallas_call(
-        _make_anyhit_kernel(leaf_hbm, meta_vmem, tables.packed_nodes),
+        _make_anyhit_kernel(leaf_hbm, meta_vmem, tables.packed_nodes,
+                            tables.width),
         in_specs=in_specs,
         out_specs=[_VMEM, _SMEM],
         out_shape=[jax.ShapeDtypeStruct((n_tiles, SUBLANES, 128), jnp.int32),

@@ -266,23 +266,47 @@ class SceneBuilder:
         est_node_rows = res.num_nodes // 8 + 16
         nodes_fit = est_node_rows * 512 < 2 * NODE_VMEM_BUDGET
         if max_leaf_size is not None and max_leaf_size <= 8 and nodes_fit:
-            from ..kernels.pallas_wide import (SMEM_META_CAP,
+            from ..kernels.pallas_wide import (MAX_NODES16, SMEM_META_CAP,
                                                build_wide_tables,
                                                pack_node_rows)
             pp0, pp1, pp2 = p0[perm], p1[perm], p2[perm]
             te1 = pp0 - pp1
             te2 = pp2 - pp0
+            # node width: 16-wide when the collapsed tree fits the 2^14
+            # stack-entry node cap (one 16-child step costs 1.34x an
+            # 8-child one for ~half the steps — micro_kernel
+            # slab_wide16_fused); instanced scenes stay 8-wide (the
+            # two-level kernels and packed node rows are 8-wide layouts).
+            # RTJAX_WIDTH=8|16 forces either for A/B runs.
+            import os as _os
+            _w = int(_os.environ.get("RTJAX_WIDTH", "0"))
+            if _w not in (8, 16):
+                _w = 16 if (not self._instances
+                            and res.num_nodes < 14 * MAX_NODES16) else 8
             # MXU A-matrix companions (8 KB/leaf-row of HBM) only on
             # request: the drain is opt-in and the default bunny table
             # would be ~90 MB of never-read device memory
             tables = build_wide_tables(res, pp0, te1, te2,
                                        np.cross(te1, te2), as_numpy=True,
-                                       with_amat=mxu_tables)
+                                       with_amat=mxu_tables, width=_w)
             node_bytes = tables.num_wide_nodes * 512
             leaf_bytes = tables.num_leaf_rows * 512
             smem_bytes = (tables.child_meta.size
                           + tables.node_info.size) * 4
             if node_bytes >= NODE_VMEM_BUDGET:
+                # packed rows are an 8-wide layout; a 16-wide tree that
+                # outgrows the node budget rebuilds 8-wide first (in
+                # practice 16-wide trees are capped at 8 MB of rows, so
+                # this fires only under shrunken test budgets)
+                if tables.width != 8:
+                    tables = build_wide_tables(res, pp0, te1, te2,
+                                               np.cross(te1, te2),
+                                               as_numpy=True,
+                                               with_amat=mxu_tables, width=8)
+                    node_bytes = tables.num_wide_nodes * 512
+                    leaf_bytes = tables.num_leaf_rows * 512
+                    smem_bytes = (tables.child_meta.size
+                                  + tables.node_info.size) * 4
                 tables = pack_node_rows(tables)
                 node_bytes //= 2
             if node_bytes >= NODE_VMEM_BUDGET:

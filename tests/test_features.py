@@ -154,6 +154,10 @@ def test_packed_node_tier_selected(monkeypatch):
     from rtjax import Camera, RenderConfig, SceneBuilder
     from conftest import random_triangles
 
+    # packed rows are an 8-wide layout; pin the width so the unpacked
+    # baseline uses the same tree as the packed build
+    monkeypatch.setenv("RTJAX_WIDTH", "8")
+
     def build():
         b = SceneBuilder()
         rng_ = np.random.default_rng(3)

@@ -281,3 +281,104 @@ def test_packed_nodes_match_unpacked(packed_scene):
     occ = wide_traverse_anyhit(packed, o, d, jnp.full(n, 2.0), exclude,
                                active, interpret=True, meta_vmem=True)
     np.testing.assert_array_equal(np.asarray(occ_ref), np.asarray(occ))
+
+
+def _check_tree(tables):
+    """Generic wide-table invariants for any width: every leaf row
+    referenced exactly once, internal refs acyclic/in-range, empty slots
+    leaf-marked with NaN boxes."""
+    w = tables.width
+    nb = np.asarray(tables.node_bounds)
+    cm = np.asarray(tables.child_meta)
+    ni = np.asarray(tables.node_info)
+    m = nb.shape[0]
+    seen = np.zeros(m, bool)
+    stack, leaf_rows = [0], []
+    while stack:
+        n_ = stack.pop()
+        assert not seen[n_], "wide node visited twice (cycle)"
+        seen[n_] = True
+        lm = ni[n_] & ((1 << w) - 1)
+        for c in range(w):
+            meta = int(cm[n_ * w + c])
+            if (lm >> c) & 1:
+                if meta & 15:
+                    leaf_rows.append(meta >> 4)
+                else:
+                    assert np.isnan(nb[n_, 6 * c])
+            else:
+                ref = meta >> 4
+                assert 0 <= ref < m and ref != n_
+                stack.append(ref)
+    assert seen.all()
+    assert sorted(leaf_rows) == list(range(tables.leaf_tris.shape[0]))
+
+
+def test_width16_matches_width8(packed_scene):
+    """16-wide tables (DP collapse, one node per 128-lane row) must agree
+    with the 8-wide tables on hits/t/prim/normal and occlusion, in both
+    SMEM-meta and mirror-lane modes."""
+    from rtjax.kernels.pallas_wide import WIDTH16
+
+    res, ptris, tables8 = packed_scene
+    t16 = build_wide_tables(res, np.asarray(ptris.p0), np.asarray(ptris.e1),
+                            np.asarray(ptris.e2), np.asarray(ptris.n),
+                            width=WIDTH16)
+    assert t16.width == WIDTH16
+    assert t16.num_wide_nodes < tables8.num_wide_nodes
+    _check_tree(t16)
+
+    n = 2048 + 300
+    o, d = _rays(n, seed=17)
+    tmax = jnp.full(n, jnp.inf)
+    active = jnp.asarray(np.random.default_rng(5).random(n) > 0.1)
+
+    ref = wide_traverse_closest(tables8, o, d, tmax, active, interpret=True)
+    for meta_vmem in (False, True):
+        out = wide_traverse_closest(t16, o, d, tmax, active,
+                                    interpret=True, meta_vmem=meta_vmem)
+        for a, b in zip(ref, out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    exclude = jnp.full(n, -1, jnp.int32)
+    occ8 = wide_traverse_anyhit(tables8, o, d, jnp.full(n, 2.0), exclude,
+                                active, interpret=True)
+    occ16 = wide_traverse_anyhit(t16, o, d, jnp.full(n, 2.0), exclude,
+                                 active, interpret=True, meta_vmem=True)
+    np.testing.assert_array_equal(np.asarray(occ8), np.asarray(occ16))
+
+
+def test_dp_collapse_matches_greedy(packed_scene, monkeypatch):
+    """The DP-optimal collapse must produce a valid tree with identical
+    traversal results to the greedy collapse, and a no-worse area sum."""
+    res, ptris, _ = packed_scene
+    monkeypatch.setenv("RTJAX_COLLAPSE", "greedy")
+    tg = build_wide_tables(res, np.asarray(ptris.p0), np.asarray(ptris.e1),
+                           np.asarray(ptris.e2), np.asarray(ptris.n))
+    monkeypatch.delenv("RTJAX_COLLAPSE")
+    td = build_wide_tables(res, np.asarray(ptris.p0), np.asarray(ptris.e1),
+                           np.asarray(ptris.e2), np.asarray(ptris.n))
+    _check_tree(tg)
+    _check_tree(td)
+
+    def area_sum(t):
+        nb = np.asarray(t.node_bounds)
+        s = 0.0
+        for c in range(t.width):
+            b = nb[:, 6 * c:6 * c + 6]
+            ok = ~np.isnan(b[:, 0])
+            d_ = np.maximum(b[ok, 3:] - b[ok, :3], 0)
+            s += float((d_[:, 0] * d_[:, 1] + d_[:, 1] * d_[:, 2]
+                        + d_[:, 2] * d_[:, 0]).sum())
+        return s
+
+    assert area_sum(td) <= area_sum(tg) * 1.0001
+
+    n = 2048
+    o, d = _rays(n, seed=23)
+    tmax = jnp.full(n, jnp.inf)
+    active = jnp.ones(n, bool)
+    a = wide_traverse_closest(tg, o, d, tmax, active, interpret=True)
+    b = wide_traverse_closest(td, o, d, tmax, active, interpret=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
