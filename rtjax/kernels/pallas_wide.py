@@ -64,8 +64,31 @@ WIDTH16 = 16          # the 16-wide variant: one step slab-tests 16 children
 MAX_LEAF = 8          # triangles per leaf row (96 floats + 8 ids = 104 lanes)
 PID_BASE = 12 * MAX_LEAF
 STACK_SIZE = 1024     # shared by all walks (generous; overflow faults SMEM)
-QUEUE_CAP = 24        # leaf visits buffered between drains (stale-tmax window)
-NUM_WALKS = 3
+# leaf visits buffered between drains (stale-tmax window).  Swept per width
+# on the headline bench: 8-wide 16/24/48/96 -> 24 optimal (PERF_NOTES);
+# 16-wide 16/24/32/48 -> 13.52/13.26/13.08/12.84 Mrays/s — the minimum legal
+# cap (= width; the walk chunk needs QUEUE_CAP - width >= 0 headroom) wins
+# because one 16-wide round already queues enough visits to amortize a
+# drain, and a tighter cap shrinks the stale-tmax window.  Env overrides
+# for A/B runs apply to BOTH widths.
+_qc_env = int(_os.environ.get("RTJAX_QUEUE_CAP", "0"))
+QUEUE_CAP = _qc_env or 24          # 8-wide cap (and Q_ALLOC sizing)
+QUEUE_CAP16 = _qc_env or 16        # 16-wide cap
+# interleaved walk cursors: 3 optimal at width 8 (2/3/4/6 ->
+# 5.59/5.01/5.11/5.31 ms, PERF_NOTES); 2 at width 16 (1/2/3/4 ->
+# 13.77/13.88/13.52/13.23 Mrays/s whole-frame) — the wider step is more
+# vector-heavy, leaving less scalar latency for extra cursors to hide
+_nw_env = int(_os.environ.get("RTJAX_NUM_WALKS", "0"))
+NUM_WALKS = _nw_env or 3           # 8-wide (and Q_ALLOC sizing)
+NUM_WALKS16 = _nw_env or 2         # 16-wide
+
+
+def _queue_cap(width):
+    return QUEUE_CAP16 if width == WIDTH16 else QUEUE_CAP
+
+
+def _num_walks(width):
+    return NUM_WALKS16 if width == WIDTH16 else NUM_WALKS
 MT_SUBLANES = 8       # leaf rows broadcast to ONE vreg for the drain's
                       # lane gathers (see _bcast_lanes_row1)
 # the cap check runs once per walk round; a round can append `width` per
@@ -402,6 +425,8 @@ def pack_leaf_rows(leaves, left_first, num_prims, p0, e1, e2, n_vec,
 
 AM_ROWS = 4 * MAX_LEAF   # A-matrix rows per leaf (det/t/u/v x 8 slots)
 AM_K = 128               # contraction width: 6 split-K term-pairs x 16
+REC_BASE = 96            # det-row spare columns: winner record (see
+REC_COLS = 12            # pack_leaf_amat — 9 normal-split + 3 pid digits)
                          # = 96 significant columns + 32 zero pad (Mosaic
                          # requires HBM slices 128-aligned in dim 1)
 MXU_GROUP = 8            # leaves per drain matmul ([256, 128] @ [128, 2048])
@@ -492,6 +517,23 @@ def pack_leaf_amat(leaves, left_first, num_prims, p0, e1, e2, n_vec,
     # zero tail pads K from 96 to AM_K=128 (HBM slice alignment)
     zpad = np.zeros((rows.shape[0], AM_K - 96), a1.dtype)
     amat = np.concatenate([a1, a1, a1, a2, a2, a3, zpad], axis=1)
+    # the winner's record rides in the det rows' zero-phi columns
+    # (REC_BASE..): 3-way bf16 split of the normal (sum reconstructs f32
+    # to ~2^-22 relative) + (pid+1) as three exact base-256 bf16 digits
+    # (0 = padded slot / miss).  phi rows 96.. are zero, so these columns
+    # never contaminate the det/t/u/v matmul outputs; the kernel extracts
+    # the winning slot's 12 values with one one-hot matmul per drain
+    # group instead of a ~1.2 ms pool-width leaf_rec gather per launch.
+    rn1, rn2, rn3 = _split3_bf16(nrm.reshape(-1, 3))
+    pidp = pid.reshape(-1).astype(np.int64) + 1
+    digs = np.stack([pidp & 255, (pidp >> 8) & 255, (pidp >> 16) & 255],
+                    axis=1).astype(np.float32)
+    import ml_dtypes
+    rec12 = np.concatenate(
+        [rn1, rn2, rn3, digs.astype(ml_dtypes.bfloat16)], axis=1)
+    det_rows = (np.arange(n_leaves)[:, None] * AM_ROWS
+                + np.arange(MAX_LEAF)[None, :]).reshape(-1)
+    amat[det_rows, REC_BASE:REC_BASE + REC_COLS] = rec12
     assert int(prim_ids.max(initial=0)) < (1 << 24), \
         "prim ids must stay exact as f32 in leaf_rec"
     rec = np.concatenate([pid.reshape(-1, 1).astype(np.float32),
@@ -915,7 +957,8 @@ def _run_walk(refs, inv, sc, octant, root, tmax, ds, drain_loop, stop_fn,
     exit).  ``rounds``/``leafs`` are running work counters; ``on_enqueue``
     is forwarded to ``_walk_step``.  Returns ``(rounds, leafs, tmax, ds)``.
     """
-    curs0 = (root,) + tuple(jnp.int32(IDLE) for _ in range(NUM_WALKS - 1))
+    nw = _num_walks(width)
+    curs0 = (root,) + tuple(jnp.int32(IDLE) for _ in range(nw - 1))
 
     def outer_cond(carry):
         curs, sp, qn, ds = carry[0], carry[1], carry[2], carry[6]
@@ -927,12 +970,12 @@ def _run_walk(refs, inv, sc, octant, root, tmax, ds, drain_loop, stop_fn,
         # walk chunk: step all walks until the queue nears capacity
         def walk_cond(c2):
             curs, sp, qn, _ = c2
-            return _alive(curs, sp) & (qn <= QUEUE_CAP - width)
+            return _alive(curs, sp) & (qn <= _queue_cap(width) - width)
 
         def walk_body(c2):
             curs, sp, qn, rounds = c2
             new = []
-            for w in range(NUM_WALKS):
+            for w in range(nw):
                 cw, sp, qn = _walk_step(curs[w], sp, qn, tmax, refs, inv,
                                         sc, octant, on_enqueue, width)
                 new.append(cw)
@@ -1102,18 +1145,18 @@ def _mxu_drain_loop(q_ref, am_hbm, f_ref, gbuf, sems):
     group masks its stale tail rows out of the accept test (those slots
     hold a previous drain cycle's blocks and have no DMA in flight).
 
-    ds = (best_t [1, TILE] f32, best_hid [1, TILE] i32): best_t doubles as
-    the walk's pruning tmax (relayout to [SUBLANES, 128] once per drain
-    call, after the group loop); hid = leaf_row * 8 + slot — prim id and
-    normal are resolved engine-side with one leaf_rec row gather, NOT
-    extracted per visit."""
+    ds = (best_t [1, TILE] f32, best_rec [REC_COLS, TILE] f32): best_t
+    doubles as the walk's pruning tmax (relayout to [SUBLANES, 128] once
+    per drain call, after the group loop); best_rec is the winner's
+    record (normal bf16-splits + pid+1 digits, pack_leaf_amat), extracted
+    per group by a one-hot matmul over the det rows' spare columns."""
     G = MXU_GROUP
 
     def loop(qn, tmax, ds):
         ng = (qn + G - 1) // G
 
         def body(c2):
-            gi, (best_t, best_hid) = c2
+            gi, (best_t, best_rec) = c2
             for j in range(G):
                 @pl.when(gi * G + j < qn)
                 def _(j=j):
@@ -1149,17 +1192,36 @@ def _mxu_drain_loop(q_ref, am_hbm, f_ref, gbuf, sems):
             rows_i = jax.lax.broadcasted_iota(jnp.int32, tg.shape, 0)
             sgl = jnp.min(jnp.where(tg <= visit_t, rows_i, G * MAX_LEAF),
                           axis=0, keepdims=True)  # winner (leaf j, slot k)
-            # hid = leaf_row[j]*8 + k: resolve j = sgl//8 via G selects
-            hid = jnp.zeros_like(sgl)
-            for j in range(G):
-                qi = jnp.minimum(gi * G + j, qn - 1)
-                row = q_ref[qi] >> 4
-                hid = jnp.where(sgl >> 3 == j,
-                                row * MAX_LEAF + (sgl - j * MAX_LEAF), hid)
+            # extract the winner's 12-value record (normal splits + pid
+            # digits, pack_leaf_amat) from the det rows' spare columns
+            # with ONE one-hot matmul: rec[c, lane] = sum_r det_cols[r, c]
+            # * (r == winner(lane)).  Exact: at most one product per lane
+            # is nonzero, and every record value is bf16-representable.
+            # This replaced the (hid out + pool-width leaf_rec gather)
+            # contract, whose gather cost ~1.2 ms per launch engine-side.
+            onehot = (rows_i == sgl).astype(jnp.bfloat16)
+            det_cols = jnp.concatenate(
+                [A[j * AM_ROWS:j * AM_ROWS + MAX_LEAF,
+                   REC_BASE:REC_BASE + REC_COLS] for j in range(G)],
+                axis=0)                                       # [G*8, 12]
+            # zero the short final group's stale tail rows BEFORE the
+            # matmul: uninitialized gbuf rows can hold NaN, and the
+            # contraction sums 0 * NaN = NaN into EVERY lane's record
+            # (the accept test's `live` mask can't help here — the sum
+            # runs over all rows unconditionally)
+            live_rows = (jax.lax.broadcasted_iota(
+                jnp.int32, (G * MAX_LEAF, 1), 0) // MAX_LEAF) \
+                < (qn - gi * G)
+            det_cols = jnp.where(live_rows, det_cols,
+                                 jnp.bfloat16(0.0))
+            rec = jax.lax.dot_general(
+                det_cols, onehot,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [12, 2048]
             improved = visit_t < best_t
             best_t = jnp.where(improved, visit_t, best_t)
-            best_hid = jnp.where(improved, hid, best_hid)
-            return gi + 1, (best_t, best_hid)
+            best_rec = jnp.where(improved, rec, best_rec)
+            return gi + 1, (best_t, best_rec)
 
         _, ds = jax.lax.while_loop(lambda c2: c2[0] < ng, body,
                                    (jnp.int32(0), ds))
@@ -1236,7 +1298,7 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
     row_at = _node_row(nb_ref, packed_nodes)
     if mxu_drain:
         phi_ref = rest[0]
-        hit_ref, tout_ref, prim_ref, st_ref, stack_ref, q_ref, *dma = \
+        hit_ref, tout_ref, rec_ref, st_ref, stack_ref, q_ref, *dma = \
             rest[1:]
     else:
         (hit_ref, tout_ref, prim_ref, nx_ref, ny_ref, nz_ref,
@@ -1268,7 +1330,7 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
           # all-rejected visit (visit_t == BIG) can never "improve" an
           # inf initial tmax and report a phantom hit
           ds0 = (jnp.minimum(tmax, BIG).reshape(1, TILE),
-                 jnp.full((1, TILE), -1, jnp.int32))
+                 jnp.zeros((REC_COLS, TILE), jnp.float32))
       else:
           drain_fn = _closest_drain(o, d)
           if leaf_hbm:
@@ -1285,14 +1347,19 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
           width=width)
       if mxu_drain:
           t = ds[0].reshape(SUBLANES, 128)
-          prim = ds[1].reshape(SUBLANES, 128)
+          rec = ds[1]
+          # pid+1 digits (exact f32 sums of bf16 products): 0 = miss
+          pidp = rec[9:10] + 256.0 * rec[10:11] + 65536.0 * rec[11:12]
+          hit = (pidp.reshape(SUBLANES, 128) > 0.0) & valid
+          hit_ref[ti] = hit.astype(jnp.int32)
+          tout_ref[ti] = t
+          rec_ref[ti] = rec.reshape(REC_COLS * SUBLANES, 128)
       else:
           t, prim, n3 = ds
-      hit = (prim >= 0) & valid
-      hit_ref[ti] = hit.astype(jnp.int32)
-      tout_ref[ti] = t
-      prim_ref[ti] = jnp.where(hit, prim, -1)
-      if not mxu_drain:
+          hit = (prim >= 0) & valid
+          hit_ref[ti] = hit.astype(jnp.int32)
+          tout_ref[ti] = t
+          prim_ref[ti] = jnp.where(hit, prim, -1)
           nx_ref[ti] = n3[0]
           ny_ref[ti] = n3[1]
           nz_ref[ti] = n3[2]
@@ -1395,8 +1462,9 @@ def concat_wide_tables(parts):
     """
     assert all(not t.packed_nodes for t in parts), \
         "concat_wide_tables needs unpacked node rows (pack last)"
-    assert all(t.width == WIDTH for t in parts), \
-        "the two-level (instanced) kernels are 8-wide"
+    width = parts[0].width
+    assert all(t.width == width for t in parts), \
+        "concat_wide_tables needs a uniform node width"
     node_off, leaf_off = [], []
     nb, cm, ni, lt, am, lp = [], [], [], [], [], []
     n_nodes = n_leaves = 0
@@ -1418,8 +1486,8 @@ def concat_wide_tables(parts):
         # re-offset SMEM meta (the instanced kernel reads SMEM, but the
         # mirrors must never go stale)
         nbk = np.array(np.asarray(t.node_bounds))
-        nbk[:, META_BASE:META_BASE + WIDTH] = \
-            cmk2.reshape(-1, WIDTH).astype(np.float32)
+        nbk[:, 6 * width:7 * width] = \
+            cmk2.reshape(-1, width).astype(np.float32)
         nb.append(nbk)
         ni.append(np.asarray(t.node_info))
         lt.append(np.asarray(t.leaf_tris))
@@ -1437,6 +1505,7 @@ def concat_wide_tables(parts):
         leaf_tris=jnp.asarray(np.concatenate(lt)),
         leaf_amat=jnp.asarray(np.concatenate(am)) if has_am else None,
         leaf_rec=jnp.asarray(np.concatenate(lp)) if has_am else None,
+        width=width,
     )
     return tables, node_off, leaf_off
 
@@ -1453,9 +1522,17 @@ def build_instanced_tables(base: WideTables, base_lo, base_hi,
     """
     if base is None or any(t is None for t in blas_tables):
         return None
-    rows = sum(t.num_wide_nodes + t.num_leaf_rows
-               for t in [base] + list(blas_tables))
+    parts = [base] + list(blas_tables)
+    if len({t.width for t in parts}) != 1:
+        return None  # mixed widths cannot concatenate (per-instance loop)
+    rows = sum(t.num_wide_nodes + t.num_leaf_rows for t in parts)
     if rows * 512 >= (100 << 20):  # combined tables must fit VMEM
+        return None
+    if parts[0].width != WIDTH and \
+            sum(t.num_wide_nodes for t in parts) >= MAX_NODES16:
+        # 16-wide stack entries address the CONCATENATED node table; the
+        # scene builder screens for this and rebuilds 8-wide, so this is a
+        # belt-and-braces refusal (per-instance fallback stays correct)
         return None
     wide, node_off, _ = concat_wide_tables([base] + list(blas_tables))
 
@@ -1565,7 +1642,7 @@ def _inst_next(dist_ref, num_inst):
     return bk, bd
 
 
-def _make_closest_inst_kernel(meta_vmem: bool = False):
+def _make_closest_inst_kernel(meta_vmem: bool = False, width: int = WIDTH):
   """Two-level wide closest-hit (see InstancedTables).  Outputs add
   ``inst_ref``: the winning instance per lane (0 = base scene); normals are
   LOCAL-frame (the caller applies the instance's cofactor transform).
@@ -1581,11 +1658,11 @@ def _make_closest_inst_kernel(meta_vmem: bool = False):
     if meta_vmem:
         (o_ref, d_ref, t_ref, act_ref, root_ref, ai_ref, nb_ref, lt_ref,
          *rest) = args
-        cm_at, info_read = _vmem_meta(nb_ref)
+        cm_at, info_read = _vmem_meta(nb_ref, width=width)
     else:
         (o_ref, d_ref, t_ref, act_ref, root_ref, ai_ref, ni_ref, cm_ref,
          nb_ref, lt_ref, *rest) = args
-        cm_at, info_read = _smem_meta(cm_ref, ni_ref)
+        cm_at, info_read = _smem_meta(cm_ref, ni_ref, width=width)
     (hit_ref, tout_ref, prim_ref, inst_ref,
      nx_ref, ny_ref, nz_ref, st_ref, stack_ref, q_ref, dist_ref) = rest
     n_tiles = hit_ref.shape[0]
@@ -1622,7 +1699,7 @@ def _make_closest_inst_kernel(meta_vmem: bool = False):
                                      _closest_drain(o_l, d_l, inst_id=k))
           rounds, leafs, tmax, ds = _run_walk(
               refs, inv, sc, octant, root, tmax, ds, dloop, _never,
-              rounds, leafs)
+              rounds, leafs, width=width)
           return rounds, leafs, tmax, ds
 
       out = jax.lax.fori_loop(0, num_inst, inst_body,
@@ -1646,7 +1723,7 @@ def _make_closest_inst_kernel(meta_vmem: bool = False):
   return kernel
 
 
-def _make_anyhit_inst_kernel(meta_vmem: bool = False):
+def _make_anyhit_inst_kernel(meta_vmem: bool = False, width: int = WIDTH):
   """Two-level wide any-hit.  The excluded prim id applies only within the
   base scene (instance 0) — shadow-ray light exclusion targets base-scene
   triangles (lights cannot be instanced).  Same IDLE-root instance loop as
@@ -1657,11 +1734,11 @@ def _make_anyhit_inst_kernel(meta_vmem: bool = False):
     if meta_vmem:
         (o_ref, d_ref, t_ref, act_ref, ex_ref, root_ref, ai_ref, nb_ref,
          lt_ref, *rest) = args
-        cm_at, info_read = _vmem_meta(nb_ref)
+        cm_at, info_read = _vmem_meta(nb_ref, width=width)
     else:
         (o_ref, d_ref, t_ref, act_ref, ex_ref, root_ref, ai_ref, ni_ref,
          cm_ref, nb_ref, lt_ref, *rest) = args
-        cm_at, info_read = _smem_meta(cm_ref, ni_ref)
+        cm_at, info_read = _smem_meta(cm_ref, ni_ref, width=width)
     occ_ref, st_ref, stack_ref, q_ref, dist_ref = rest
     n_tiles = occ_ref.shape[0]
     num_inst = root_ref.shape[0]
@@ -1695,7 +1772,7 @@ def _make_anyhit_inst_kernel(meta_vmem: bool = False):
                                      _anyhit_drain(o_l, d_l, ex_k))
           rounds, leafs, tmax, occ = _run_walk(
               refs, inv, sc, octant, root, tmax, occ, dloop, stop,
-              rounds, leafs)
+              rounds, leafs, width=width)
           return rounds, leafs, tmax, occ
 
       out = jax.lax.fori_loop(
@@ -1795,9 +1872,10 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
     table in HBM and streams rows per visit (big-scene mode).
     ``mxu_drain`` runs leaf drains as MXU group matmuls against the
     split-K A-matrix table (requires ``tables.leaf_amat``; implies the
-    leaf table lives in HBM); prim ids and normals are gathered from
-    ``leaf_rec`` by the winning (leaf row, slot) id after
-    the kernel, so the traversal loop carries only (t, hid).
+    leaf table lives in HBM); prim ids and normals are extracted
+    IN-KERNEL per drain group by a one-hot matmul over the det rows'
+    spare record columns (pack_leaf_amat), so the engine does no
+    pool-width gather at all.
     """
     as_v3 = isinstance(origin, tuple)
     n = origin[0].shape[0] if as_v3 else origin.shape[0]
@@ -1830,9 +1908,12 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
         ins = ins + (_build_phi_xla(o, d),)
     n_out = 4 if mxu_drain else 7
     out_shape = [jax.ShapeDtypeStruct(shp, jnp.int32),
-                 jax.ShapeDtypeStruct(shp, jnp.float32),
-                 jax.ShapeDtypeStruct(shp, jnp.int32)]
-    if not mxu_drain:
+                 jax.ShapeDtypeStruct(shp, jnp.float32)]
+    if mxu_drain:
+        out_shape += [jax.ShapeDtypeStruct(
+            (n_tiles, REC_COLS * SUBLANES, 128), jnp.float32)]
+    else:
+        out_shape += [jax.ShapeDtypeStruct(shp, jnp.int32)]
         out_shape += [jax.ShapeDtypeStruct(shp, jnp.float32)] * 3
     out_shape += [jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32)]
     outs = pl.pallas_call(
@@ -1851,14 +1932,19 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
 
     flat = lambda a: a.reshape(n_pad)[:n]
     if mxu_drain:
-        hit, t, hid, st = outs
+        hit, t, rec, st = outs
         hit = flat(hit) != 0
-        hid = jnp.maximum(flat(hid), 0)
-        # ONE pool-width row gather resolves (prim, normal); separate
-        # arrays cost 4 gathers ~1.1 ms each (the 4 ms mxu launch overhead)
-        rec = tables.leaf_rec[hid]
-        prim = jnp.where(hit, rec[:, 0].astype(jnp.int32), -1)
-        normal = tuple(jnp.where(hit, rec[:, 1 + k], 0.0) for k in range(3))
+        # winner records come back IN-KERNEL (one-hot matmul over the det
+        # rows' spare columns) — no pool-width gather.  Channels: normal
+        # 3-way bf16 splits (0..8, sum restores ~f32) + pid+1 base-256
+        # digits (9..11, exact)
+        ch = rec.reshape(n_tiles, REC_COLS, TILE).transpose(1, 0, 2) \
+                .reshape(REC_COLS, n_pad)[:, :n]
+        normal = tuple(
+            jnp.where(hit, ch[k] + ch[3 + k] + ch[6 + k], 0.0)
+            for k in range(3))
+        pid = (ch[9] + 256.0 * ch[10] + 65536.0 * ch[11]).astype(jnp.int32)
+        prim = jnp.where(hit, pid - 1, -1)
     else:
         hit, t, prim, nx, ny, nz, st = outs
         hit = flat(hit) != 0
@@ -1958,7 +2044,7 @@ def wide_traverse_closest_inst(tabs: InstancedTables, origin, direction,
                tabs.wide.child_meta, tabs.wide.node_bounds,
                tabs.wide.leaf_tris)
     outs = pl.pallas_call(
-        _make_closest_inst_kernel(meta_vmem),
+        _make_closest_inst_kernel(meta_vmem, tabs.wide.width),
         in_specs=in_specs,
         out_specs=[_VMEM] * 7 + [_SMEM],
         out_shape=[jax.ShapeDtypeStruct(shp, jnp.int32),
@@ -2018,7 +2104,7 @@ def wide_traverse_anyhit_inst(tabs: InstancedTables, origin, direction,
                tabs.wide.node_info, tabs.wide.child_meta,
                tabs.wide.node_bounds, tabs.wide.leaf_tris)
     occ, st = pl.pallas_call(
-        _make_anyhit_inst_kernel(meta_vmem),
+        _make_anyhit_inst_kernel(meta_vmem, tabs.wide.width),
         in_specs=in_specs,
         out_specs=[_VMEM, _SMEM],
         out_shape=[jax.ShapeDtypeStruct((n_tiles, SUBLANES, 128), jnp.int32),

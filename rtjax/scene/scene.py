@@ -275,14 +275,15 @@ class SceneBuilder:
             # node width: 16-wide when the collapsed tree fits the 2^14
             # stack-entry node cap (one 16-child step costs 1.34x an
             # 8-child one for ~half the steps — micro_kernel
-            # slab_wide16_fused); instanced scenes stay 8-wide (the
-            # two-level kernels and packed node rows are 8-wide layouts).
+            # slab_wide16_fused).  Instanced scenes use 16-wide too when
+            # the CONCATENATED (base + BLAS) node count fits the cap —
+            # verified after the BLAS builds below, with an 8-wide rebuild
+            # if the estimate was wrong.  Packed node rows stay 8-wide.
             # RTJAX_WIDTH=8|16 forces either for A/B runs.
             import os as _os
             _w = int(_os.environ.get("RTJAX_WIDTH", "0"))
             if _w not in (8, 16):
-                _w = 16 if (not self._instances
-                            and res.num_nodes < 14 * MAX_NODES16) else 8
+                _w = 16 if res.num_nodes < 14 * MAX_NODES16 else 8
             # MXU A-matrix companions (8 KB/leaf-row of HBM) only on
             # request: the drain is opt-in and the default bunny table
             # would be ~90 MB of never-read device memory
@@ -315,12 +316,28 @@ class SceneBuilder:
                 leaf_hbm = node_bytes + leaf_bytes >= TABLE_VMEM_BUDGET
                 meta_vmem = smem_bytes >= SMEM_META_CAP
 
+        w_inst = tables.width if tables is not None else 8
         instances, blas, blas_np = self._build_instances(
-            max_depth, max_leaf_size, min_leaf_size, builder)
+            max_depth, max_leaf_size, min_leaf_size, builder, w_inst)
         inst_tables = None
         if instances is not None and tables is not None and not leaf_hbm \
                 and not tables.packed_nodes:
             from ..kernels.pallas_wide import build_instanced_tables
+            if tables.width != 8 and all(t is not None for t in blas_np) \
+                    and (tables.num_wide_nodes
+                         + sum(t.num_wide_nodes for t in blas_np)
+                         >= MAX_NODES16):
+                # the concatenated 16-wide node table would overflow the
+                # stack-entry node field (2^14): rebuild base + BLAS 8-wide
+                # (8-wide entries address 2^22 nodes)
+                tables = build_wide_tables(res, pp0, te1, te2,
+                                           np.cross(te1, te2),
+                                           as_numpy=True,
+                                           with_amat=mxu_tables, width=8)
+                meta_vmem = (tables.child_meta.size
+                             + tables.node_info.size) * 4 >= SMEM_META_CAP
+                instances, blas, blas_np = self._build_instances(
+                    max_depth, max_leaf_size, min_leaf_size, builder, 8)
             inst_tables = build_instanced_tables(
                 tables, bmin.min(0), bmax.max(0), blas_np, instances)
         if tables is not None:
@@ -345,7 +362,7 @@ class SceneBuilder:
         )
 
     def _build_instances(self, max_depth, max_leaf_size, min_leaf_size,
-                         builder):
+                         builder, width=8):
         """Build shared BLAS + instance table (memoized per build params)."""
         if not self._instances:
             return None, (), ()
@@ -356,7 +373,7 @@ class SceneBuilder:
         content = tuple((mid, m.tobytes(), mat)
                         for mid, m, mat in self._instances)
         cache_key = (max_depth, max_leaf_size, min_leaf_size, builder,
-                     len(self._blas_meshes), content)
+                     len(self._blas_meshes), content, width)
         cached = getattr(self, "_inst_cache", None)
         if cached is not None and cached[0] == cache_key:
             return cached[1]
@@ -393,7 +410,7 @@ class SceneBuilder:
                 te1, te2 = pp0 - pp1, pp2 - pp0
                 tables = build_wide_tables(res, pp0, te1, te2,
                                            np.cross(te1, te2), as_numpy=True,
-                                           with_amat=False)
+                                           with_amat=False, width=width)
             blas_np.append(tables)
             blas.append(MeshBlas(tris=tris, bvh=res.to_device(),
                                  tables=None if tables is None
