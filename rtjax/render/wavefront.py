@@ -491,7 +491,7 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     inf = jnp.full(n, jnp.inf, jnp.float32)
     hit, ht, hprim, hsrc, hnrm, *tst = t_closest(ray_o, ray_d, inf,
                                                  trace_mask)
-    node_steps = leaf_visits = 0
+    node_steps = leaf_visits = ah_steps = ah_leafs = 0
     if cfg.detailed_stats:
         node_steps, leaf_visits = tst[0]
 
@@ -505,8 +505,7 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         occluded = t_anyhit(ah_o, ah_d, ah_tmax, ltri, ah_mask)
         if cfg.detailed_stats:
             occluded, (s1, l1) = occluded
-            node_steps = node_steps + s1
-            leaf_visits = leaf_visits + l1
+            ah_steps, ah_leafs = s1, l1
         chs_ok = hit & (hsrc == 0) & (hprim == ltri)
         acc = _accum(acc, ah_L, ah_mask & ~occluded)
         acc = _accum(acc, chs_L, chs_mask & chs_ok)
@@ -523,8 +522,7 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
                         cat(ah_mask, chs_mask))
         if cfg.detailed_stats:
             occ2, (s1, l1) = occ2
-            node_steps = node_steps + s1
-            leaf_visits = leaf_visits + l1
+            ah_steps, ah_leafs = s1, l1
         occluded, chs_occ = occ2[:n], occ2[n:]
         acc = _accum(acc, ah_L, ah_mask & ~occluded)
         acc = _accum(acc, chs_L, chs_mask & ~chs_occ)
@@ -551,10 +549,11 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     occupancy = jnp.sum(trace_mask, dtype=jnp.float32) / n
     if cfg.detailed_stats:
         # bounce-depth histogram of traced path rays (depth 0 = camera rays)
-        hist, steps_acc, leafs_acc = extra
+        hist, steps_acc, leafs_acc, ah_s_acc, ah_l_acc = extra
         depth = jnp.clip(bounces, 0, cfg.max_bounces)
         hist = hist.at[depth].add(trace_mask.astype(jnp.int32))
-        extra = (hist, steps_acc + node_steps, leafs_acc + leaf_visits)
+        extra = (hist, steps_acc + node_steps, leafs_acc + leaf_visits,
+                 ah_s_acc + ah_steps, ah_l_acc + ah_leafs)
     return (new_state, fb, cam_start + num_gen, it + 1, work_left,
             rays_traced + traced, occ_sum + occupancy) + tuple(extra)
 
@@ -577,7 +576,8 @@ def render_frame_linear(scene: Scene, camera: Camera, cfg: RenderConfig, key):
              jnp.float32(0), jnp.float32(0))
     if cfg.detailed_stats:
         carry = carry + (jnp.zeros(cfg.max_bounces + 1, jnp.int32),
-                         jnp.int32(0), jnp.int32(0))
+                         jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                         jnp.int32(0))
 
     def cond(carry):
         cam_start, it, work_left = carry[2], carry[3], carry[4]
@@ -598,8 +598,11 @@ def render_frame_linear(scene: Scene, camera: Camera, cfg: RenderConfig, key):
         # work counters (kernel semantics: pallas = walk rounds / leaf-row
         # visits, xla = node-pair steps / leaf visits)
         stats["bounce_histogram"] = extra[0]
-        stats["node_steps"] = extra[1]
-        stats["leaf_visits"] = extra[2]
+        stats["node_steps"] = extra[1] + extra[3]
+        stats["leaf_visits"] = extra[2] + extra[4]
+        # any-hit (shadow) launch share of the above totals
+        stats["anyhit_steps"] = extra[3]
+        stats["anyhit_visits"] = extra[4]
     return fb, stats
 
 
