@@ -35,10 +35,14 @@ class RenderConfig:
     sort_rays: bool = True
     # sort key: "morton" (octant-major origin cell), "morton_pos"
     # (position-major origin cell), "prim" (octant-major origin triangle),
-    # or "prim_pos" (position-major origin triangle).  morton_pos measured
-    # fastest on bounce-heavy scenes (config 1: 9.76 vs 8.66 Mrays/s):
-    # bounce packets from one surface patch share BVH paths regardless of
-    # direction, so position-major packs them into one tile.
+    # "prim_pos" (position-major origin triangle), "normal_pos"
+    # (position-major, NORMAL-octant tie-break: the sort runs before the
+    # next direction is sampled, and matte bounces scatter around the
+    # normal), or "adaptive" (position-major shallow / normal-octant-major
+    # deep rays).  morton_pos measured fastest on bounce-heavy scenes
+    # (config 1: 9.76 vs 8.66 Mrays/s): bounce packets from one surface
+    # patch share BVH paths regardless of direction, so position-major
+    # packs them into one tile.
     sort_key: str = "morton_pos"
     # camera-ray generation order: "blocked" hands regenerated slots sample
     # ids in 16x16-pixel screen blocks, so primary-ray packet tiles cover

@@ -183,3 +183,53 @@ def ray_sort_keys_pos10_v3(origin, direction, lo, hi, active):
     m = (_part1by2_10(cells[0]) | (_part1by2_10(cells[1]) << 1)
          | (_part1by2_10(cells[2]) << 2))
     return jnp.where(active, m, jnp.int32(0x7FFFFFFF))
+
+
+def _octant3_v3(direction):
+    return ((direction[0] < 0).astype(jnp.int32)
+            | ((direction[1] < 0).astype(jnp.int32) << 1)
+            | ((direction[2] < 0).astype(jnp.int32) << 2))
+
+
+def ray_sort_keys_normal_pos_v3(origin, normal, lo, hi, active):
+    """Position-major keys with a NORMAL-octant tie-break.
+
+    The sort runs BEFORE the mat stage samples the next direction
+    (wavefront.py), so the incoming ray direction is a weak proxy for the
+    next packet's direction spread; for matte bounces (the majority) the
+    sampled direction is cosine-distributed around the shading normal, so
+    the normal's octant is the sharper grouping signal within a Morton
+    cell."""
+    cells = []
+    for k in range(3):
+        g = (origin[k] - lo[k]) / jnp.maximum(hi[k] - lo[k], 1e-30)
+        cells.append(jnp.clip(g * 511.0, 0.0, 511.0).astype(jnp.int32))
+    m = (_part1by2(cells[0]) | (_part1by2(cells[1]) << 1)
+         | (_part1by2(cells[2]) << 2))
+    key = (m << 3) | _octant3_v3(normal)
+    return jnp.where(active, key, jnp.int32(0x7FFFFFFF))
+
+
+def ray_sort_keys_adaptive_v3(origin, normal, bounces, lo, hi, active,
+                              deep_from=2):
+    """Depth-adaptive keys: position-major for shallow rays, normal-octant-
+    MAJOR for deep ones.
+
+    Shallow bounce packets inherit camera coherence — same-patch origins
+    share the BVH path, so position-major wins (PERF_NOTES round 3).  From
+    ``deep_from`` bounces the directions are near-isotropic: a tile built
+    from one Morton cell then unions rays fanning into the whole scene.
+    Deep rays instead group by the normal octant first (hemisphere-coherent
+    packets, cone-shaped unions) with the Morton cell as tie-break.  A top
+    bit segregates the two classes so one global stable sort keeps each
+    regime's tiles pure."""
+    cells = []
+    for k in range(3):
+        g = (origin[k] - lo[k]) / jnp.maximum(hi[k] - lo[k], 1e-30)
+        cells.append(jnp.clip(g * 511.0, 0.0, 511.0).astype(jnp.int32))
+    m = (_part1by2(cells[0]) | (_part1by2(cells[1]) << 1)
+         | (_part1by2(cells[2]) << 2))
+    oc = _octant3_v3(normal)
+    deep = bounces >= deep_from
+    key = jnp.where(deep, (1 << 30) | (oc << 27) | m, (m << 3) | oc)
+    return jnp.where(active, key, jnp.int32(0x7FFFFFFF))

@@ -242,11 +242,20 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
             root_lo, root_hi = scene.bvh.bmin[0], scene.bvh.bmax[0]
             hp_t = jnp.where(mat_mask, state.t, 0.0)
             hp = v3.add(state.ray_o, v3.scale(hp_t, state.ray_d))
-            from .sorting import ray_sort_keys_pos10_v3
-            kf = {"morton_pos": ray_sort_keys_pos_v3,
-                  "morton_pos10": ray_sort_keys_pos10_v3}.get(
-                cfg.sort_key, ray_sort_keys_v3)
-            keys = kf(hp, state.ray_d, root_lo, root_hi, mat_mask)
+            from .sorting import (ray_sort_keys_pos10_v3,
+                                  ray_sort_keys_normal_pos_v3,
+                                  ray_sort_keys_adaptive_v3)
+            if cfg.sort_key == "normal_pos":
+                keys = ray_sort_keys_normal_pos_v3(
+                    hp, state.normal, root_lo, root_hi, mat_mask)
+            elif cfg.sort_key == "adaptive":
+                keys = ray_sort_keys_adaptive_v3(
+                    hp, state.normal, bounces, root_lo, root_hi, mat_mask)
+            else:
+                kf = {"morton_pos": ray_sort_keys_pos_v3,
+                      "morton_pos10": ray_sort_keys_pos10_v3}.get(
+                    cfg.sort_key, ray_sort_keys_v3)
+                keys = kf(hp, state.ray_d, root_lo, root_hi, mat_mask)
         bundle = (state.pixel, state.ray_o, state.ray_d, state.t,
                   state.normal, state.prim, state.src, bounces, beta, acc,
                   mat_mask) + ((limbo,) if cfg.reference_parity else ())

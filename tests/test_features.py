@@ -194,3 +194,40 @@ def test_packed_node_tier_selected(monkeypatch):
     fb, _ = render_frame(sc2, cam, cfg, jax.random.key(0))
     fb_ref, _ = render_frame(sc, cam, cfg, jax.random.key(0))
     np.testing.assert_array_equal(np.asarray(fb), np.asarray(fb_ref))
+
+
+def test_adaptive_sort_key_regimes(rng):
+    """Depth-adaptive keys: deep rays bucket after shallow ones, deep keys
+    are normal-octant-major, shallow keys position-major; inactive lanes
+    still sort to the back."""
+    from rtjax.render.sorting import (ray_sort_keys_adaptive_v3,
+                                      ray_sort_keys_normal_pos_v3)
+    n = 1024
+    o = tuple(jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+              for _ in range(3))
+    nrm = tuple(jnp.asarray(rng.standard_normal(n).astype(np.float32))
+                for _ in range(3))
+    bounces = jnp.asarray(rng.integers(0, 6, n).astype(np.int32))
+    active = jnp.asarray(rng.random(n) > 0.2)
+    lo = hi = None
+    lo = tuple(jnp.float32(0.0) for _ in range(3))
+    hi = tuple(jnp.float32(1.0) for _ in range(3))
+    keys = np.asarray(ray_sort_keys_adaptive_v3(o, nrm, bounces, lo, hi,
+                                                active)).astype(np.int64)
+    act = np.asarray(active)
+    deep = np.asarray(bounces) >= 2
+    # every active deep key ranks above every active shallow key
+    assert keys[act & deep].min(initial=1 << 62) > \
+        keys[act & ~deep].max(initial=-1)
+    # and below the inactive sentinel
+    assert keys[act].max(initial=-1) < 0x7FFFFFFF
+    # deep keys are octant-major on the NORMAL: same cell, flipped normal
+    # octant -> differ in the top octant bits
+    oc = ((np.asarray(nrm[0]) < 0).astype(int)
+          | ((np.asarray(nrm[1]) < 0).astype(int) << 1)
+          | ((np.asarray(nrm[2]) < 0).astype(int) << 2))
+    got_oc = (keys[act & deep] >> 27) & 7
+    np.testing.assert_array_equal(got_oc, oc[act & deep])
+    # normal_pos: position-major with the normal octant in the low 3 bits
+    k2 = np.asarray(ray_sort_keys_normal_pos_v3(o, nrm, lo, hi, active))
+    np.testing.assert_array_equal(k2[act] & 7, oc[act])
