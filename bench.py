@@ -38,8 +38,7 @@ def main() -> None:
     traversal = os.environ.get("BENCH_TRAVERSAL", "pallas")
 
     t0 = time.time()
-    scene, camera = cornell_bunny(
-        mxu_tables=bool(int(os.environ.get("BENCH_MXU", "0"))))
+    scene, camera = cornell_bunny()
     build_s = time.time() - t0
     print(f"# scene: {scene.tris.num} tris, {scene.bvh.num_nodes} nodes, "
           f"build {build_s:.1f}s", file=sys.stderr)
@@ -51,8 +50,6 @@ def main() -> None:
         kw["sort_key"] = os.environ["BENCH_SORT_KEY"]
     if os.environ.get("BENCH_CAMERA_ORDER"):
         kw["camera_order"] = os.environ["BENCH_CAMERA_ORDER"]
-    if os.environ.get("BENCH_MXU"):
-        kw["mxu_drain"] = bool(int(os.environ["BENCH_MXU"]))
     if os.environ.get("BENCH_ONE_SAMPLE_MIS"):
         # one-sample MIS traces FEWER rays for the same image: wall time
         # drops but Mrays/s also counts fewer traversals — compare the

@@ -29,7 +29,7 @@ def main():
     from rtjax.scenes import cornell_bunny
 
     log2s = [int(a) for a in sys.argv[1:]] or [17]
-    scene, _cam = cornell_bunny(mxu_tables=True)
+    scene, _cam = cornell_bunny()
     tables = scene.tables
     print(f"backend = {jax.default_backend()}")
 
@@ -46,12 +46,10 @@ def main():
 
         fc = jax.jit(lambda o, d, act: wide_traverse_closest(
             tables, o, d, tmax, act, with_stats=True))
-        fm = jax.jit(lambda o, d, act: wide_traverse_closest(
-            tables, o, d, tmax, act, with_stats=True, mxu_drain=True))
         fa = jax.jit(lambda o, d, act: wide_traverse_anyhit(
             tables, o, d, tmax, exclude, act, with_stats=True))
 
-        for name, f in (("closest", fc), ("mxu", fm), ("anyhit", fa)):
+        for name, f in (("closest", fc), ("anyhit", fa)):
             for act_name, act in (("active", jnp.ones(n, bool)),
                                   ("idle", jnp.zeros(n, bool))):
                 t0 = time.time()

@@ -296,7 +296,7 @@ def make_leaf_mt_vpu(n_iters, serialize=True, row1=False):
 
 # ------------------------------------------- leaf MT (VPU), division-free
 def make_leaf_mt_vpu_nodiv(n_iters):
-    """Sign-flip MT accept (the MXU drain's rule, pallas_wide._mxu_drain_loop)
+    """Sign-flip MT accept (the MXU drain's rule, the round-3 MXU drain (deleted round 4; PERF_NOTES post-mortem))
     on the VPU: no per-slot division; cross-slot 'closer' via cross-
     multiplication (at/adet < bat/badet <=> at*badet < bat*adet, positive
     denominators); ONE division per visit for the winning t."""
@@ -611,7 +611,7 @@ def make_leaf_mt_mxu_group(n_iters, group=8, splitk=True):
 def make_mxu_group_hbm(n_iters, group=8, dma=True, matmul=True,
                        extract=True, buf_depth=4):
     """Production-shaped MXU group drain bisect: A blocks streamed from HBM
-    through a DMA ring (like pallas_wide._mxu_drain_loop), one
+    through a DMA ring (like the round-3 MXU drain (deleted round 4; PERF_NOTES post-mortem)), one
     [group*32, 128] @ [128, 2048] matmul per group, whole-group winner
     extraction.  Toggles isolate DMA / matmul / extraction costs.
     Each iter = ONE GROUP (= `group` leaf visits)."""

@@ -78,7 +78,7 @@ def _walk_body(pb_ref, inv, sc, tmax, i):
 
 def _drain_body(am_ref, F, best, i):
     """One drain group: matmul + sign-flip accept + running best (mirrors
-    pallas_wide._mxu_drain_loop's per-group work)."""
+    the round-3 MXU drain (deleted round 4; PERF_NOTES post-mortem)'s per-group work)."""
     A = am_ref[pl.ds((i % 64) * AM_ROWS, AM_ROWS), :]
     out = jnp.dot(A, F, preferred_element_type=jnp.float32)
     o4 = out.reshape(8, 4, 8, 2048)

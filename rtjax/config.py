@@ -64,13 +64,6 @@ class RenderConfig:
     # dead suffix entirely (in-window lanes compute bitwise-identically).
     # 1 disables; requires sort_rays and the pallas path.
     shade_chunks: int = 8
-    # MXU leaf drains: closest-hit leaf visits run as split-K group
-    # matmuls against the HBM A-matrix table instead of per-row VPU MT
-    # tests (kernels.pallas_wide._mxu_drain_loop; f32-faithful via 3-way
-    # bf16 operand splits).  None = auto, which currently resolves OFF:
-    # per-group fixed costs beat the per-visit matmul win at production
-    # queue sizes (render/trace.py _use_mxu).  A bool forces it.
-    mxu_drain: bool | None = None
     # one-sample MIS: reuse the path-continuation BSDF sample for the
     # BSDF-side MIS light channel (the standard single-sample estimator,
     # e.g. PBRT); the channel's "closest hit == picked light triangle"

@@ -107,8 +107,7 @@ MAX_NODES16 = 1 << 14  # 16-wide node cap (stack-entry node field)
 # ============================================================ host-side build
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["node_bounds", "child_meta", "node_info", "leaf_tris",
-                      "leaf_amat", "leaf_rec"],
+         data_fields=["node_bounds", "child_meta", "node_info", "leaf_tris"],
          meta_fields=["packed_nodes", "n_nodes", "width"])
 @dataclasses.dataclass(frozen=True)
 class WideTables:
@@ -130,28 +129,19 @@ class WideTables:
       is a leaf (or empty; empties never hit).
     leaf_tris [L, 128] f32: MAX_LEAF triangles (p0,e1,e2,n — the reference's
       edge-precomputed storage, triangle.cuh:6-7) + 8 prim ids as exact f32.
+      The final row is all-zero (degenerate: n = 0 makes every MT test
+      reject), reserved as the lane walker's dummy-pop target.
 
-    MXU-drain companions (None when not built):
-    leaf_amat [L*32, 128] bf16 (HBM-resident): per leaf 32 coefficient rows
-      (field-major: det/t_num/u_num/v_num x 8 slots) of the bilinear MT
-      form against the ray-feature basis [d, dxo, o, 1, 0..] — stored as
-      the 6-term split-K expansion ([A1|A1|A1|A2|A2|A3] of the 3-way bf16
-      split a = a1+a2+a3), so ONE default-precision MXU pass accumulates
-      f32-faithful products (see _mxu_drain_loop).
-    leaf_rec [L*8, 4] f32: per (leaf row, slot) the prim id (exact
-      int-valued f32, < 2^24) and unnormalized geometric normal — resolved
-      engine-side by the winning hit id (hid = leaf_row*8 + slot) after
-      traversal with ONE row gather.  (Separate pid/normal arrays cost 4
-      pool-width XLA gathers ~1.1 ms EACH on v5e — they were the entire
-      4 ms/launch mxu overhead, launch_floor.py.)
+    (A round-2/3 MXU leaf-drain subsystem — split-K bf16 A-matrix tables +
+    group matmul drains — was measured slower at system level on every
+    shipping config and deleted in round 4; docs/PERF_NOTES.md keeps the
+    full post-mortem.)
     """
 
     node_bounds: jax.Array
     child_meta: jax.Array
     node_info: jax.Array
     leaf_tris: jax.Array
-    leaf_amat: jax.Array | None = None
-    leaf_rec: jax.Array | None = None
     packed_nodes: bool = False  # static: two nodes per bounds row
     n_nodes: int = -1           # static: node count when packed (rows != nodes)
     width: int = WIDTH          # static: children per wide node (8 or 16)
@@ -166,13 +156,10 @@ class WideTables:
 
     def device(self) -> "WideTables":
         """jnp-ify (host-built tables are numpy until placed)."""
-        j = lambda a: None if a is None else jnp.asarray(a)
         return WideTables(node_bounds=jnp.asarray(self.node_bounds),
                           child_meta=jnp.asarray(self.child_meta),
                           node_info=jnp.asarray(self.node_info),
                           leaf_tris=jnp.asarray(self.leaf_tris),
-                          leaf_amat=j(self.leaf_amat),
-                          leaf_rec=j(self.leaf_rec),
                           packed_nodes=self.packed_nodes,
                           n_nodes=self.n_nodes,
                           width=self.width)
@@ -389,11 +376,13 @@ DP_COLLAPSE_CAP = 3_000_000  # binary nodes; beyond this the O(M * W^2) DP
 
 def pack_leaf_rows(leaves, left_first, num_prims, p0, e1, e2, n_vec,
                    prim_ids=None):
-    """Pack binary-BVH leaves into [L, 128] rows: 8x12 triangle floats
+    """Pack binary-BVH leaves into [L+1, 128] rows: 8x12 triangle floats
     (p0, e1, e2, n) + 8 prim ids stored as exact f32 values (< 2^24).
-    Short leaves pad with degenerate triangles (n = 0 never passes MT)."""
+    Short leaves pad with degenerate triangles (n = 0 never passes MT).
+    One extra all-zero row is appended at index L: the lane walker's
+    dummy-pop target (never referenced by child_meta, rejects every MT)."""
     n_leaves = len(leaves)
-    tri_rows = np.zeros((max(n_leaves, 1), 128), np.float32)
+    tri_rows = np.zeros((max(n_leaves, 1) + 1, 128), np.float32)
     pid_rows = np.full((max(n_leaves, 1), MAX_LEAF), -1, np.int32)
     p0 = np.asarray(p0, np.float32)
     e1 = np.asarray(e1, np.float32)
@@ -419,136 +408,12 @@ def pack_leaf_rows(leaves, left_first, num_prims, p0, e1, e2, n_vec,
         tri_rows[:n_leaves, base + 9:base + 12] = np.where(
             has[:, None], n_vec[src], 0.0)
         pid_rows[:n_leaves, j] = np.where(has, prim_ids[src], -1)
-    tri_rows[:, PID_BASE:PID_BASE + MAX_LEAF] = pid_rows.astype(np.float32)
+    tri_rows[:-1, PID_BASE:PID_BASE + MAX_LEAF] = pid_rows.astype(np.float32)
     return tri_rows
-
-
-AM_ROWS = 4 * MAX_LEAF   # A-matrix rows per leaf (det/t/u/v x 8 slots)
-AM_K = 128               # contraction width: 6 split-K term-pairs x 16
-REC_BASE = 96            # det-row spare columns: winner record (see
-REC_COLS = 12            # pack_leaf_amat — 9 normal-split + 3 pid digits)
-                         # = 96 significant columns + 32 zero pad (Mosaic
-                         # requires HBM slices 128-aligned in dim 1)
-MXU_GROUP = 8            # leaves per drain matmul ([256, 128] @ [128, 2048])
-
-
-def _split3_bf16(x):
-    """3-way bf16 split: x ~= a1 + a2 + a3 with each term exactly
-    representable in bf16, capturing ~24 mantissa bits (f32-faithful).
-    Products a_i * b_j of two such splits are exact in f32, so an MXU
-    bf16 pass accumulating them in f32 matches precision=highest.
-
-    Implemented as mantissa TRUNCATION via integer masking (sign
-    preserved): each residual is exactly representable in f32, so the
-    three terms still sum to x within 2^-24 relative — and it runs as
-    SIMD integer ops instead of ml_dtypes scalar casts, which dominated
-    the whole wide-table build (255 of 278 s at 1M tris)."""
-    import ml_dtypes
-    bf = ml_dtypes.bfloat16
-
-    def trunc(v):
-        return (v.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32)
-
-    def to_bf16(v):
-        return (v.view(np.uint32) >> 16).astype(np.uint16).view(bf)
-
-    x32 = np.ascontiguousarray(x, np.float32)
-    a1 = trunc(x32)
-    r = x32 - a1
-    a2 = trunc(r)
-    r2 = r - a2
-    a3 = trunc(r2)
-    return to_bf16(a1), to_bf16(a2), to_bf16(a3)
-
-
-def pack_leaf_amat(leaves, left_first, num_prims, p0, e1, e2, n_vec,
-                   prim_ids=None):
-    """Per-leaf MT coefficient blocks for the MXU group drain.
-
-    MT is bilinear in (triangle fields, ray features).  With the feature
-    basis phi = [d, dxo, o, 1, 0*6] (dxo = d x o):
-      det   = n . d
-      t_num = (p0 . n) - n . o          (c . n with c = p0 - o)
-      u_num = (p0 x e2) . d - e2 . dxo  (e2 . (d x c) refactored)
-      v_num = (p0 x e1) . d - e1 . dxo
-    and u = u_num/det etc, exactly the reference accept rule
-    (triangle.cuh:39-58) after the sign-flip normalization in the kernel.
-    Coefficients are computed in f64 and stored as the 6-term split-K
-    expansion (see WideTables.leaf_amat).  Padded slots are all-zero rows:
-    det = t = 0 fails `t_num > 0`, so they can never be accepted.
-
-    Returns ``(amat [L*32, 96] bf16, rec [L*8, 4] f32)`` where rec rows
-    are (prim id as exact f32, nx, ny, nz).
-    """
-    n_leaves = max(len(leaves), 1)
-    p0 = np.asarray(p0, np.float64)
-    e1 = np.asarray(e1, np.float64)
-    e2 = np.asarray(e2, np.float64)
-    n_vec = np.asarray(n_vec, np.float64)
-    if prim_ids is None:
-        prim_ids = np.arange(len(p0), dtype=np.int32)
-
-    first = np.asarray(left_first)[leaves]
-    count = np.asarray(num_prims)[leaves]
-    coeff = np.zeros((n_leaves, 4, MAX_LEAF, 16), np.float64)
-    pid = np.full((n_leaves, MAX_LEAF), -1, np.int32)
-    nrm = np.zeros((n_leaves, MAX_LEAF, 3), np.float32)
-    for j in range(MAX_LEAF):
-        has = count > j
-        src = np.where(has, first + j, 0)
-        P, E1, E2, N = p0[src], e1[src], e2[src], n_vec[src]
-        m = has[:, None]
-        coeff[:len(leaves), 0, j, 0:3] = np.where(m, N, 0.0)
-        coeff[:len(leaves), 1, j, 6:9] = np.where(m, -N, 0.0)
-        coeff[:len(leaves), 1, j, 9] = np.where(
-            has, np.einsum("ij,ij->i", P, N), 0.0)
-        coeff[:len(leaves), 2, j, 0:3] = np.where(m, np.cross(P, E2), 0.0)
-        coeff[:len(leaves), 2, j, 3:6] = np.where(m, -E2, 0.0)
-        coeff[:len(leaves), 3, j, 0:3] = np.where(m, np.cross(P, E1), 0.0)
-        coeff[:len(leaves), 3, j, 3:6] = np.where(m, -E1, 0.0)
-        pid[:len(leaves), j] = np.where(has, prim_ids[src], -1)
-        nrm[:len(leaves), j] = np.where(m, N, 0.0).astype(np.float32)
-
-    rows = coeff.reshape(n_leaves * AM_ROWS, 16)
-    a1, a2, a3 = _split3_bf16(rows)
-    # column layout [A1|A1|A1|A2|A2|A3|0] pairs with the kernel's F-row
-    # layout [F1;F2;F3;F1;F2;F1;0]: the 6 significant term-pairs of
-    # (a1+a2+a3)(b1+b2+b3), dropping only O(2^-24)-relative terms; the
-    # zero tail pads K from 96 to AM_K=128 (HBM slice alignment)
-    zpad = np.zeros((rows.shape[0], AM_K - 96), a1.dtype)
-    amat = np.concatenate([a1, a1, a1, a2, a2, a3, zpad], axis=1)
-    # the winner's record rides in the det rows' zero-phi columns
-    # (REC_BASE..): 3-way bf16 split of the normal (sum reconstructs f32
-    # to ~2^-22 relative) + (pid+1) as three exact base-256 bf16 digits
-    # (0 = padded slot / miss).  phi rows 96.. are zero, so these columns
-    # never contaminate the det/t/u/v matmul outputs; the kernel extracts
-    # the winning slot's 12 values with one one-hot matmul per drain
-    # group instead of a ~1.2 ms pool-width leaf_rec gather per launch.
-    rn1, rn2, rn3 = _split3_bf16(nrm.reshape(-1, 3))
-    pidp = pid.reshape(-1).astype(np.int64) + 1
-    digs = np.stack([pidp & 255, (pidp >> 8) & 255, (pidp >> 16) & 255],
-                    axis=1).astype(np.float32)
-    import ml_dtypes
-    rec12 = np.concatenate(
-        [rn1, rn2, rn3, digs.astype(ml_dtypes.bfloat16)], axis=1)
-    det_rows = (np.arange(n_leaves)[:, None] * AM_ROWS
-                + np.arange(MAX_LEAF)[None, :]).reshape(-1)
-    amat[det_rows, REC_BASE:REC_BASE + REC_COLS] = rec12
-    assert int(prim_ids.max(initial=0)) < (1 << 24), \
-        "prim ids must stay exact as f32 in leaf_rec"
-    rec = np.concatenate([pid.reshape(-1, 1).astype(np.float32),
-                          nrm.reshape(-1, 3)], axis=1)
-    return amat, rec
-
-
-AMAT_LEAF_CAP = 1 << 17  # build MXU A-matrices only up to ~1M tris: the
-                         # table is 8 KB/leaf (a 4M-tri scene would host-
-                         # build and ship 4 GB for an OPT-IN drain mode)
 
 
 def build_wide_tables(res: BuildResult, p0, e1, e2, n_vec,
                       prim_ids=None, as_numpy=False,
-                      with_amat: bool | None = None,
                       width: int = WIDTH) -> WideTables:
     """Collapse a binary BuildResult + leaf-ordered triangles into wide
     kernel tables (``width`` = 8 or 16 children per node).
@@ -581,14 +446,6 @@ def build_wide_tables(res: BuildResult, p0, e1, e2, n_vec,
     leaf_row_of = {g: i for i, g in enumerate(leaf_nodes)}
     leaf_tris = pack_leaf_rows(np.asarray(leaf_nodes, np.int64), left_first,
                                num_prims, p0, e1, e2, n_vec, prim_ids)
-    if with_amat is None:
-        with_amat = len(leaf_nodes) <= AMAT_LEAF_CAP
-    if with_amat:
-        amat, lrec = pack_leaf_amat(np.asarray(leaf_nodes, np.int64),
-                                    left_first, num_prims, p0, e1, e2,
-                                    n_vec, prim_ids)
-    else:
-        amat = lrec = None
 
     node_bounds = np.full((n_wide, 128), np.nan, np.float32)
     child_meta = np.zeros((n_wide, width), np.int32)
@@ -630,8 +487,7 @@ def build_wide_tables(res: BuildResult, p0, e1, e2, n_vec,
     out = WideTables(node_bounds=node_bounds,
                      child_meta=child_meta.reshape(-1),
                      node_info=node_info,
-                     leaf_tris=leaf_tris,
-                     leaf_amat=amat, leaf_rec=lrec, width=width)
+                     leaf_tris=leaf_tris, width=width)
     return out if as_numpy else out.device()
 
 
@@ -860,16 +716,13 @@ def _node_row(nb_ref, packed=False):
     return row_at
 
 
-def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant, on_enqueue=None,
-               width=WIDTH):
+def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant, width=WIDTH):
     """One branch-free step of one walk: slab all ``width`` children of its
     cursor, queue leaf hits, descend/push/pop on the shared stack.
 
     An idle walk (cur == IDLE) executes the same vector code on node 0 with
     its hit mask forced to 0, then steals from the shared stack (pop path).
-    ``on_enqueue(q, meta)`` (optional) fires per queued leaf — the MXU
-    drain starts its A-block DMA here so HBM latency overlaps the rest of
-    the walk chunk.  Returns (new_cur, new_sp, new_qn).
+    Returns (new_cur, new_sp, new_qn).
     """
     row_at, cm_at, info_read, stack_ref, q_ref = refs
     mask_all = (1 << width) - 1
@@ -893,10 +746,7 @@ def _walk_step(cur, sp, qn, tmax, refs, inv, sc, octant, on_enqueue=None,
     # append leaf metas to the drain queue (scalar-only loop, trips 0..8)
     def q_body(c2):
         lh, q = c2
-        meta = cm_node(_ctz(lh))
-        q_ref[q] = meta
-        if on_enqueue is not None:
-            on_enqueue(q, meta)
+        q_ref[q] = cm_node(_ctz(lh))
         return lh & (lh - 1), q + 1
 
     _, qn = jax.lax.while_loop(lambda c2: c2[0] != 0, q_body,
@@ -947,15 +797,15 @@ def _never(_ds):
 
 
 def _run_walk(refs, inv, sc, octant, root, tmax, ds, drain_loop, stop_fn,
-              rounds, leafs, on_enqueue=None, width=WIDTH):
+              rounds, leafs, width=WIDTH):
     """Walk one (sub)tree to completion: alternate branch-free walk chunks
     with pipelined leaf-queue drains (module docstring, items 2-3).
 
     ``ds`` is an arbitrary drain-state pytree threaded through
     ``drain_loop(qn, tmax, ds) -> (tmax, ds)`` per filled queue;
     ``stop_fn(ds)`` aborts the walk early (the any-hit all-lanes-occluded
-    exit).  ``rounds``/``leafs`` are running work counters; ``on_enqueue``
-    is forwarded to ``_walk_step``.  Returns ``(rounds, leafs, tmax, ds)``.
+    exit).  ``rounds``/``leafs`` are running work counters.
+    Returns ``(rounds, leafs, tmax, ds)``.
     """
     nw = _num_walks(width)
     curs0 = (root,) + tuple(jnp.int32(IDLE) for _ in range(nw - 1))
@@ -977,7 +827,7 @@ def _run_walk(refs, inv, sc, octant, root, tmax, ds, drain_loop, stop_fn,
             new = []
             for w in range(nw):
                 cw, sp, qn = _walk_step(curs[w], sp, qn, tmax, refs, inv,
-                                        sc, octant, on_enqueue, width)
+                                        sc, octant, width)
                 new.append(cw)
             return tuple(new), sp, qn, rounds + 1
 
@@ -1059,180 +909,6 @@ def _hbm_drain_loop(q_ref, lt_hbm, rowbuf, sems, drain_fn):
     return loop
 
 
-MXU_BUF = 4  # (legacy ring depth; the drain now buffers one A-block per
-             # queue slot and DMAs start at enqueue time)
-
-
-def _build_phi_xla(o, d):
-    """Split-K ray-feature matrices [n_tiles, AM_K, TILE] bf16, built by
-    XLA OUTSIDE the kernel and DMA'd in per tile.
-
-    Rows are [F1;F2;F3;F1;F2;F1;0] of the 3-way bf16 split of the feature
-    basis phi = [d, d x o, o, 1, 0*6] — the column-pair layout of
-    pack_leaf_amat, so one default-precision MXU pass accumulates the 6
-    significant term-pairs (exact bf16 products, f32 accumulation):
-    f32-faithful MT at bf16-dot cost.
-
-    The first cut built this [AM_K, TILE] matrix inside the kernel per
-    tile; Mosaic lowers the 16 [SUBLANES,128] -> [1, TILE] row relayouts
-    so poorly that an IDLE mxu launch cost 4x the VPU one (launch_floor.py:
-    5.26 ms vs 1.33 ms idle at 64 tiles — ~61 us/tile of pure fixed cost).
-    XLA builds all tiles' matrices in one fused pass (the [16,128] -> 2048
-    flatten is contiguous, not a transpose) and the kernel streams 512 KB
-    per tile from HBM instead (~1 us/tile at HBM bandwidth)."""
-    nt = o.shape[0]
-    of = o.reshape(nt, 3, TILE)
-    df = d.reshape(nt, 3, TILE)
-    ox, oy, oz = of[:, 0], of[:, 1], of[:, 2]
-    dx, dy, dz = df[:, 0], df[:, 1], df[:, 2]
-    rows = [dx, dy, dz,
-            dy * oz - dz * oy, dz * ox - dx * oz, dx * oy - dy * ox,
-            ox, oy, oz, jnp.ones_like(ox)]
-    F = jnp.stack(rows + [jnp.zeros_like(ox)] * 6, axis=1)  # [nt,16,TILE]
-
-    # the split MUST be integer truncation, not `F - F.astype(bf16)`: on
-    # TPU XLA keeps that chain in bf16 precision and folds the residual to
-    # ZERO, silently degrading the whole drain to bf16 accuracy (caught by
-    # the hardware parity run: prim agree fell to 0.97).  Bit ops have
-    # exact semantics the compiler cannot re-associate, and truncation
-    # residuals are exactly representable (matching pack_leaf_amat's
-    # _split3_bf16 on the A side).
-    bc = jax.lax.bitcast_convert_type
-
-    def trunc(v):
-        return bc(bc(v, jnp.uint32) & jnp.uint32(0xFFFF0000), jnp.float32)
-
-    def to_bf16(v):
-        return bc((bc(v, jnp.uint32) >> 16).astype(jnp.uint16),
-                  jnp.bfloat16)
-
-    f1 = trunc(F)
-    r = F - f1
-    f2 = trunc(r)
-    f3 = trunc(r - f2)
-    f1, f2, f3 = to_bf16(f1), to_bf16(f2), to_bf16(f3)
-    z = jnp.zeros((nt, AM_K - 96, TILE), jnp.bfloat16)
-    return jnp.concatenate([f1, f2, f3, f1, f2, f1, z], axis=1)
-
-
-def _mxu_dma(q_ref, am_hbm, gbuf, sems, q, meta=None):
-    """The A-block copy for queue slot ``q``: leaf row's [32, AM_K]
-    coefficient block HBM -> gbuf slot ``q``.  ``meta`` (the queue entry)
-    may be passed to skip the q_ref re-read at start time."""
-    if meta is None:
-        meta = q_ref[q]
-    return pltpu.make_async_copy(
-        am_hbm.at[pl.ds((meta >> 4) * AM_ROWS, AM_ROWS), :],
-        gbuf.at[pl.ds(q * AM_ROWS, AM_ROWS), :],
-        sems.at[q])
-
-
-def _mxu_drain_loop(q_ref, am_hbm, f_ref, gbuf, sems):
-    """Drain the leaf queue in groups of MXU_GROUP leaves on the MXU.
-
-    One [G*32, 128] @ [128, 2048] matmul per group produces det/t_num/
-    u_num/v_num for all G x 8 (leaf, slot) pairs x 2048 lanes; the
-    sign-flip accept rule (u >= 0 etc as u_num*s >= 0 with s = sign(det))
-    reproduces the reference accept exactly (triangle.cuh:39-58).
-
-    A-blocks are NOT fetched here: each slot's DMA started when the leaf
-    was enqueued (_walk_step on_enqueue -> _mxu_dma), so by drain time the
-    copies have overlapped the walk chunk and the per-group cost is G
-    semaphore waits + one matmul + one whole-group extraction.  (The
-    first cut re-fetched groups through a 4-deep ring per drain call; the
-    per-drain ring refill made it ~1.6x slower than the VPU drain at
-    system level despite a 2.4x/visit microbench win.)  A short final
-    group masks its stale tail rows out of the accept test (those slots
-    hold a previous drain cycle's blocks and have no DMA in flight).
-
-    ds = (best_t [1, TILE] f32, best_rec [REC_COLS, TILE] f32): best_t
-    doubles as the walk's pruning tmax (relayout to [SUBLANES, 128] once
-    per drain call, after the group loop); best_rec is the winner's
-    record (normal bf16-splits + pid+1 digits, pack_leaf_amat), extracted
-    per group by a one-hot matmul over the det rows' spare columns."""
-    G = MXU_GROUP
-
-    def loop(qn, tmax, ds):
-        ng = (qn + G - 1) // G
-
-        def body(c2):
-            gi, (best_t, best_rec) = c2
-            for j in range(G):
-                @pl.when(gi * G + j < qn)
-                def _(j=j):
-                    _mxu_dma(q_ref, am_hbm, gbuf, sems, gi * G + j).wait()
-            A = gbuf[pl.ds(gi * G * AM_ROWS, G * AM_ROWS), :]  # [G*32, K]
-            # f_ref is read HERE, not hoisted to the tile body: a live
-            # [AM_K, TILE] bf16 value (128 vregs) across the whole tile
-            # loop wrecks Mosaic's register allocation — an IDLE mxu
-            # launch used to cost 4x the VPU one from that alone
-            out = jnp.dot(A, f_ref[:], preferred_element_type=jnp.float32)
-            # ONE whole-group extraction (per-leaf [1, 2048] best-updates
-            # measured ~2x slower: 1/8-utilization vreg ops + per-leaf
-            # scalar sequencing — benchmarks/micro_kernel.py group variant).
-            # Rows are (leaf j, field f, slot k) = j*32 + f*8 + k; each
-            # [G, 8, 2048] field view is vreg-aligned (8-row bands).
-            o4 = out.reshape(G, 4, MAX_LEAF, TILE)
-            det, tn, un, vn = o4[:, 0], o4[:, 1], o4[:, 2], o4[:, 3]
-            s = jnp.where(det < 0.0, -1.0, 1.0)
-            adet = det * s
-            at_ = tn * s
-            au = un * s
-            av = vn * s
-            bt = jnp.broadcast_to(best_t.reshape(1, 1, TILE), det.shape)
-            h = (au >= 0.0) & (av >= 0.0) & (au + av <= adet) & \
-                (at_ > 0.0) & (at_ <= bt * adet)
-            # mask the short final group's stale tail (slots >= qn have no
-            # DMA in flight; their gbuf contents are a previous cycle's)
-            live = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0) \
-                < (qn - gi * G)
-            h = h & live
-            tg = jnp.where(h, at_ / adet, BIG).reshape(G * MAX_LEAF, TILE)
-            visit_t = jnp.min(tg, axis=0, keepdims=True)      # [1, 2048]
-            rows_i = jax.lax.broadcasted_iota(jnp.int32, tg.shape, 0)
-            sgl = jnp.min(jnp.where(tg <= visit_t, rows_i, G * MAX_LEAF),
-                          axis=0, keepdims=True)  # winner (leaf j, slot k)
-            # extract the winner's 12-value record (normal splits + pid
-            # digits, pack_leaf_amat) from the det rows' spare columns
-            # with ONE one-hot matmul: rec[c, lane] = sum_r det_cols[r, c]
-            # * (r == winner(lane)).  Exact: at most one product per lane
-            # is nonzero, and every record value is bf16-representable.
-            # This replaced the (hid out + pool-width leaf_rec gather)
-            # contract, whose gather cost ~1.2 ms per launch engine-side.
-            onehot = (rows_i == sgl).astype(jnp.bfloat16)
-            det_cols = jnp.concatenate(
-                [A[j * AM_ROWS:j * AM_ROWS + MAX_LEAF,
-                   REC_BASE:REC_BASE + REC_COLS] for j in range(G)],
-                axis=0)                                       # [G*8, 12]
-            # zero the short final group's stale tail rows BEFORE the
-            # matmul: uninitialized gbuf rows can hold NaN, and the
-            # contraction sums 0 * NaN = NaN into EVERY lane's record
-            # (the accept test's `live` mask can't help here — the sum
-            # runs over all rows unconditionally)
-            live_rows = (jax.lax.broadcasted_iota(
-                jnp.int32, (G * MAX_LEAF, 1), 0) // MAX_LEAF) \
-                < (qn - gi * G)
-            det_cols = jnp.where(live_rows, det_cols,
-                                 jnp.bfloat16(0.0))
-            rec = jax.lax.dot_general(
-                det_cols, onehot,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # [12, 2048]
-            improved = visit_t < best_t
-            best_t = jnp.where(improved, visit_t, best_t)
-            best_rec = jnp.where(improved, rec, best_rec)
-            return gi + 1, (best_t, best_rec)
-
-        _, ds = jax.lax.while_loop(lambda c2: c2[0] < ng, body,
-                                   (jnp.int32(0), ds))
-        # relayout [1, 2048] -> [SUBLANES, 128] ONCE per drain call (was
-        # per group) so the next walk chunk prunes on the tightened bound
-        tmax = jnp.where(ng > 0, ds[0].reshape(SUBLANES, 128), tmax)
-        return tmax, ds
-
-    return loop
-
-
 def _closest_drain(o, d, inst_id=None):
     """Drain-state update for closest-hit: MT-test a leaf row, keep the
     per-lane closest accepted hit and shrink tmax.  ``inst_id`` (scalar) is
@@ -1270,7 +946,6 @@ def _anyhit_drain(o, d, exclude):
 
 
 def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
-                         mxu_drain: bool = False,
                          packed_nodes: bool = False, width: int = WIDTH):
   """Wide closest-hit kernel: in-kernel tile loop (tables DMA'd once), per
   tile an outer loop alternating walk chunks and leaf-queue drains.
@@ -1282,10 +957,7 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
   With ``leaf_hbm`` the leaf table stays in HBM and drains stream rows
   through a DMA ring (two extra scratch args); with ``meta_vmem`` the
   child_meta/node_info SMEM inputs are dropped and meta comes from the
-  bounds-row mirror lanes (see _vmem_meta).  With ``mxu_drain`` the leaf
-  input is the HBM A-matrix table and drains run in MXU groups
-  (_mxu_drain_loop); outputs are then (hit, t, hid, stats) — no normals
-  (engine resolves them with one leaf_rec row gather)."""
+  bounds-row mirror lanes (see _vmem_meta)."""
 
   def kernel(*args):
     if meta_vmem:
@@ -1296,13 +968,8 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
          *rest) = args
         cm_at, info_read = _smem_meta(cm_ref, ni_ref, width)
     row_at = _node_row(nb_ref, packed_nodes)
-    if mxu_drain:
-        phi_ref = rest[0]
-        hit_ref, tout_ref, rec_ref, st_ref, stack_ref, q_ref, *dma = \
-            rest[1:]
-    else:
-        (hit_ref, tout_ref, prim_ref, nx_ref, ny_ref, nz_ref,
-         st_ref, stack_ref, q_ref, *dma) = rest
+    (hit_ref, tout_ref, prim_ref, nx_ref, ny_ref, nz_ref,
+     st_ref, stack_ref, q_ref, *dma) = rest
     n_tiles = hit_ref.shape[0]
 
     def tile_body(ti, _):
@@ -1318,51 +985,25 @@ def _make_closest_kernel(leaf_hbm: bool, meta_vmem: bool = False,
       stack_ref[0] = 0
 
       refs = (row_at, cm_at, info_read, stack_ref, q_ref)
-      on_enq = None
-      if mxu_drain:
-          fcopy = pltpu.make_async_copy(phi_ref.at[ti], dma[2], dma[3])
-          fcopy.start()
-          fcopy.wait()
-          on_enq = lambda q, meta: _mxu_dma(q_ref, lt_ref, dma[0], dma[1],
-                                            q, meta).start()
-          dloop = _mxu_drain_loop(q_ref, lt_ref, dma[2], dma[0], dma[1])
-          # best_t doubles as the pruning bound: capped at BIG so an
-          # all-rejected visit (visit_t == BIG) can never "improve" an
-          # inf initial tmax and report a phantom hit
-          ds0 = (jnp.minimum(tmax, BIG).reshape(1, TILE),
-                 jnp.zeros((REC_COLS, TILE), jnp.float32))
+      drain_fn = _closest_drain(o, d)
+      if leaf_hbm:
+          dloop = _hbm_drain_loop(q_ref, lt_ref, dma[0], dma[1], drain_fn)
       else:
-          drain_fn = _closest_drain(o, d)
-          if leaf_hbm:
-              dloop = _hbm_drain_loop(q_ref, lt_ref, dma[0], dma[1],
-                                      drain_fn)
-          else:
-              dloop = _simple_drain_loop(q_ref, lt_ref, drain_fn)
-          ds0 = (jnp.full(tmax.shape, BIG, jnp.float32),
-                 jnp.full(tmax.shape, -1, jnp.int32),
-                 (jnp.zeros_like(tmax),) * 3)
+          dloop = _simple_drain_loop(q_ref, lt_ref, drain_fn)
+      ds0 = (jnp.full(tmax.shape, BIG, jnp.float32),
+             jnp.full(tmax.shape, -1, jnp.int32),
+             (jnp.zeros_like(tmax),) * 3)
       rounds, leafs, _, ds = _run_walk(
           refs, inv, sc, octant, jnp.where(any_valid, 0, IDLE), tmax, ds0,
-          dloop, _never, jnp.int32(0), jnp.int32(0), on_enqueue=on_enq,
-          width=width)
-      if mxu_drain:
-          t = ds[0].reshape(SUBLANES, 128)
-          rec = ds[1]
-          # pid+1 digits (exact f32 sums of bf16 products): 0 = miss
-          pidp = rec[9:10] + 256.0 * rec[10:11] + 65536.0 * rec[11:12]
-          hit = (pidp.reshape(SUBLANES, 128) > 0.0) & valid
-          hit_ref[ti] = hit.astype(jnp.int32)
-          tout_ref[ti] = t
-          rec_ref[ti] = rec.reshape(REC_COLS * SUBLANES, 128)
-      else:
-          t, prim, n3 = ds
-          hit = (prim >= 0) & valid
-          hit_ref[ti] = hit.astype(jnp.int32)
-          tout_ref[ti] = t
-          prim_ref[ti] = jnp.where(hit, prim, -1)
-          nx_ref[ti] = n3[0]
-          ny_ref[ti] = n3[1]
-          nz_ref[ti] = n3[2]
+          dloop, _never, jnp.int32(0), jnp.int32(0), width=width)
+      t, prim, n3 = ds
+      hit = (prim >= 0) & valid
+      hit_ref[ti] = hit.astype(jnp.int32)
+      tout_ref[ti] = t
+      prim_ref[ti] = jnp.where(hit, prim, -1)
+      nx_ref[ti] = n3[0]
+      ny_ref[ti] = n3[1]
+      nz_ref[ti] = n3[2]
       st_ref[ti, 0] = rounds
       st_ref[ti, 1] = leafs
       return 0
@@ -1466,7 +1107,7 @@ def concat_wide_tables(parts):
     assert all(t.width == width for t in parts), \
         "concat_wide_tables needs a uniform node width"
     node_off, leaf_off = [], []
-    nb, cm, ni, lt, am, lp = [], [], [], [], [], []
+    nb, cm, ni, lt = [], [], [], []
     n_nodes = n_leaves = 0
     total_nodes = sum(t.num_wide_nodes for t in parts)
     total_leaves = sum(t.num_leaf_rows for t in parts)
@@ -1491,20 +1132,13 @@ def concat_wide_tables(parts):
         nb.append(nbk)
         ni.append(np.asarray(t.node_info))
         lt.append(np.asarray(t.leaf_tris))
-        if t.leaf_amat is not None:
-            am.append(np.asarray(t.leaf_amat))
-            lp.append(np.asarray(t.leaf_rec))
         n_nodes += t.num_wide_nodes
         n_leaves += t.num_leaf_rows
-    # MXU-drain companions concatenate by leaf row iff every part has them
-    has_am = len(am) == len(parts)
     tables = WideTables(
         node_bounds=jnp.asarray(np.concatenate(nb)),
         child_meta=jnp.asarray(np.concatenate(cm)),
         node_info=jnp.asarray(np.concatenate(ni)),
         leaf_tris=jnp.asarray(np.concatenate(lt)),
-        leaf_amat=jnp.asarray(np.concatenate(am)) if has_am else None,
-        leaf_rec=jnp.asarray(np.concatenate(lp)) if has_am else None,
         width=width,
     )
     return tables, node_off, leaf_off
@@ -1831,18 +1465,10 @@ def _vmem_limit(tables: WideTables, n_rays: int,
     return min(int((table_bytes + ray_bytes) * 1.25) + (4 << 20), 127 << 20)
 
 
-def _scratch(leaf_hbm: bool = False, mxu_drain: bool = False):
+def _scratch(leaf_hbm: bool = False):
     s = [pltpu.SMEM((STACK_SIZE,), jnp.int32),
          pltpu.SMEM((Q_ALLOC,), jnp.int32)]
-    if mxu_drain:
-        # one A-block slot per queue entry: DMAs start at enqueue time and
-        # land while the walk chunk continues (48 slots x 8 KB = 384 KB);
-        # plus the per-tile feature-matrix buffer (512 KB) + its semaphore
-        s += [pltpu.VMEM((Q_ALLOC * AM_ROWS, AM_K), jnp.bfloat16),
-              pltpu.SemaphoreType.DMA((Q_ALLOC,)),
-              pltpu.VMEM((AM_K, TILE), jnp.bfloat16),
-              pltpu.SemaphoreType.DMA]
-    elif leaf_hbm:
+    if leaf_hbm:
         s += [pltpu.VMEM((DMA_DEPTH, 1, 128), jnp.float32),
               pltpu.SemaphoreType.DMA((DMA_DEPTH,))]
     return s
@@ -1852,11 +1478,11 @@ _HBM = pl.BlockSpec(memory_space=pl.ANY)
 
 
 @partial(jax.jit, static_argnames=("interpret", "with_stats", "leaf_hbm",
-                                   "meta_vmem", "mxu_drain"))
+                                   "meta_vmem"))
 def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
                           active, interpret: bool = False,
                           with_stats: bool = False, leaf_hbm: bool = False,
-                          meta_vmem: bool = False, mxu_drain: bool = False):
+                          meta_vmem: bool = False):
     """Wide-BVH packet closest-hit traversal.
 
     Returns ``(hit, t, prim, normal)`` over ``[N]`` rays, where ``normal``
@@ -1870,12 +1496,6 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
     scalar pair is appended (summed over tiles; a walk round = NUM_WALKS
     wide-node steps, idle walks included).  ``leaf_hbm`` keeps the leaf
     table in HBM and streams rows per visit (big-scene mode).
-    ``mxu_drain`` runs leaf drains as MXU group matmuls against the
-    split-K A-matrix table (requires ``tables.leaf_amat``; implies the
-    leaf table lives in HBM); prim ids and normals are extracted
-    IN-KERNEL per drain group by a one-hot matmul over the det rows'
-    spare record columns (pack_leaf_amat), so the engine does no
-    pool-width gather at all.
     """
     as_v3 = isinstance(origin, tuple)
     n = origin[0].shape[0] if as_v3 else origin.shape[0]
@@ -1888,68 +1508,37 @@ def wide_traverse_closest(tables: WideTables, origin, direction, tmax,
     act = _scalar_tiles(_pad(active.astype(jnp.int32), n_pad, 0), n_tiles)
 
     shp = (n_tiles, SUBLANES, 128)
-    if mxu_drain:
-        assert tables.leaf_amat is not None, \
-            "mxu_drain requires WideTables built with leaf_amat"
-        leaf_in, leaf_spec = tables.leaf_amat, _HBM
-    else:
-        leaf_in = tables.leaf_tris
-        leaf_spec = _HBM if leaf_hbm else _VMEM
+    leaf_spec = _HBM if leaf_hbm else _VMEM
     if meta_vmem:
         in_specs = [_VMEM] * 5 + [leaf_spec]
-        ins = (o, d, tm, act, tables.node_bounds, leaf_in)
+        ins = (o, d, tm, act, tables.node_bounds, tables.leaf_tris)
     else:
         in_specs = [_VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _VMEM,
                     leaf_spec]
         ins = (o, d, tm, act, tables.node_info, tables.child_meta,
-               tables.node_bounds, leaf_in)
-    if mxu_drain:
-        in_specs = in_specs + [_HBM]
-        ins = ins + (_build_phi_xla(o, d),)
-    n_out = 4 if mxu_drain else 7
+               tables.node_bounds, tables.leaf_tris)
     out_shape = [jax.ShapeDtypeStruct(shp, jnp.int32),
-                 jax.ShapeDtypeStruct(shp, jnp.float32)]
-    if mxu_drain:
-        out_shape += [jax.ShapeDtypeStruct(
-            (n_tiles, REC_COLS * SUBLANES, 128), jnp.float32)]
-    else:
-        out_shape += [jax.ShapeDtypeStruct(shp, jnp.int32)]
-        out_shape += [jax.ShapeDtypeStruct(shp, jnp.float32)] * 3
+                 jax.ShapeDtypeStruct(shp, jnp.float32),
+                 jax.ShapeDtypeStruct(shp, jnp.int32)]
+    out_shape += [jax.ShapeDtypeStruct(shp, jnp.float32)] * 3
     out_shape += [jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32)]
     outs = pl.pallas_call(
-        _make_closest_kernel(leaf_hbm, meta_vmem, mxu_drain,
-                             tables.packed_nodes, tables.width),
+        _make_closest_kernel(leaf_hbm, meta_vmem, tables.packed_nodes,
+                             tables.width),
         in_specs=in_specs,
-        out_specs=[_VMEM] * (n_out - 1) + [_SMEM],
+        out_specs=[_VMEM] * 6 + [_SMEM],
         out_shape=out_shape,
-        scratch_shapes=_scratch(leaf_hbm, mxu_drain),
+        scratch_shapes=_scratch(leaf_hbm),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(tables, n_pad,
-                                         leaf_hbm or mxu_drain)
-                             + (8 << 20 if mxu_drain else 0)),
+            vmem_limit_bytes=_vmem_limit(tables, n_pad, leaf_hbm)),
         interpret=interpret,
     )(*ins)
 
     flat = lambda a: a.reshape(n_pad)[:n]
-    if mxu_drain:
-        hit, t, rec, st = outs
-        hit = flat(hit) != 0
-        # winner records come back IN-KERNEL (one-hot matmul over the det
-        # rows' spare columns) — no pool-width gather.  Channels: normal
-        # 3-way bf16 splits (0..8, sum restores ~f32) + pid+1 base-256
-        # digits (9..11, exact)
-        ch = rec.reshape(n_tiles, REC_COLS, TILE).transpose(1, 0, 2) \
-                .reshape(REC_COLS, n_pad)[:, :n]
-        normal = tuple(
-            jnp.where(hit, ch[k] + ch[3 + k] + ch[6 + k], 0.0)
-            for k in range(3))
-        pid = (ch[9] + 256.0 * ch[10] + 65536.0 * ch[11]).astype(jnp.int32)
-        prim = jnp.where(hit, pid - 1, -1)
-    else:
-        hit, t, prim, nx, ny, nz, st = outs
-        hit = flat(hit) != 0
-        prim = flat(prim)
-        normal = (flat(nx), flat(ny), flat(nz))
+    hit, t, prim, nx, ny, nz, st = outs
+    hit = flat(hit) != 0
+    prim = flat(prim)
+    normal = (flat(nx), flat(ny), flat(nz))
     if not as_v3:
         normal = jnp.stack(normal, axis=-1)
     out = (hit, flat(t), prim, normal)

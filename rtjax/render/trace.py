@@ -61,22 +61,6 @@ def _warn_blas_fallback(mesh_id):
                "its instances traverse on the (slow) XLA backend")
 
 
-def _use_mxu(cfg, mode, interp=None):
-    """Static decision: run closest-hit leaf drains on the MXU?  Auto
-    currently resolves to OFF.  Round-3 launch_floor.py bisect: after
-    enqueue-time A-block DMA, XLA-side feature build, and collapsing the
-    4 post-kernel gathers to one leaf_rec row gather, the MXU drain's
-    per-VISIT cost beats the VPU drain (~3.0 vs ~3.4 ms work on the
-    2^17-ray bunny launch) but the remaining pool-width gather costs
-    ~1.2 ms per LAUNCH, which nets out to ~neutral at bunny visit counts
-    (whole-frame A/B: 12.14 on vs 12.19 off).  Worth forcing on for
-    visit-heavy workloads; cfg.mxu_drain (a bool) forces either way."""
-    mxu = getattr(cfg, "mxu_drain", None)
-    if mxu is None:
-        return False
-    return bool(mxu) and mode == "pallas"
-
-
 def resolve_mode(scene, cfg):
     mode = cfg.traversal
     if mode == "auto":
@@ -87,16 +71,13 @@ def resolve_mode(scene, cfg):
 
 
 def _backend(mode, interp, tables, bvh, tris, stack_size, with_stats=False,
-             leaf_hbm=False, meta_vmem=False, mxu_drain=False):
+             leaf_hbm=False, meta_vmem=False):
     if mode == "pallas":
         assert tables is not None, (
             "traversal='pallas' needs scenes built with max_leaf_size <= 8")
-        # any-hit keeps the VPU drain: it early-outs per visit and needs
-        # the excluded prim id in-kernel, which the A-matrix table drops
         return (partial(wide_traverse_closest, tables, interpret=interp,
                         with_stats=with_stats, leaf_hbm=leaf_hbm,
-                        meta_vmem=meta_vmem,
-                        mxu_drain=mxu_drain and tables.leaf_amat is not None),
+                        meta_vmem=meta_vmem),
                 partial(wide_traverse_anyhit, tables, interpret=interp,
                         with_stats=with_stats, leaf_hbm=leaf_hbm,
                         meta_vmem=meta_vmem))
@@ -206,8 +187,7 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
     closest, _ = _backend(mode, interp, scene.tables, scene.bvh, scene.tris,
                           cfg.stack_size, with_stats,
                           getattr(scene, "leaf_hbm", False),
-                          getattr(scene, "meta_vmem", False),
-                          _use_mxu(cfg, mode, interp))
+                          getattr(scene, "meta_vmem", False))
     hit, t, prim, n_w, *st = closest(o, d, tmax, active)
     t = jnp.where(hit, t, tmax)
     src = jnp.zeros_like(prim)
@@ -224,8 +204,7 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
                 _warn_blas_fallback(inst.mesh_id[k])
             c_k, _ = _backend(mode_k, interp, blas.tables, blas.bvh,
                               blas.tris, cfg.stack_size, with_stats,
-                              meta_vmem=_tables_meta_vmem(blas.tables),
-                              mxu_drain=_use_mxu(cfg, mode_k, interp))
+                              meta_vmem=_tables_meta_vmem(blas.tables))
             m = active & _instance_mask(inst, k, o, d)
             o_l = _affine_point_v3(inst.inv[k], o)
             d_l = _affine_vector_v3(inst.inv[k], d)  # NOT normalized:

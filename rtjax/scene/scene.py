@@ -190,8 +190,7 @@ class SceneBuilder:
               max_leaf_size: int | None = 8,
               min_leaf_size: int | None = None,
               builder: str = "auto",
-              verbose: bool = False,
-              mxu_tables: bool = False) -> Scene:
+              verbose: bool = False) -> Scene:
         """Assemble the device scene (BVH build + leaf-order permutation).
 
         ``min_leaf_size`` defaults to ``max_leaf_size`` (filled leaf rows for
@@ -284,12 +283,9 @@ class SceneBuilder:
             _w = int(_os.environ.get("RTJAX_WIDTH", "0"))
             if _w not in (8, 16):
                 _w = 16 if res.num_nodes < 14 * MAX_NODES16 else 8
-            # MXU A-matrix companions (8 KB/leaf-row of HBM) only on
-            # request: the drain is opt-in and the default bunny table
-            # would be ~90 MB of never-read device memory
             tables = build_wide_tables(res, pp0, te1, te2,
                                        np.cross(te1, te2), as_numpy=True,
-                                       with_amat=mxu_tables, width=_w)
+                                       width=_w)
             node_bytes = tables.num_wide_nodes * 512
             leaf_bytes = tables.num_leaf_rows * 512
             smem_bytes = (tables.child_meta.size
@@ -302,8 +298,7 @@ class SceneBuilder:
                 if tables.width != 8:
                     tables = build_wide_tables(res, pp0, te1, te2,
                                                np.cross(te1, te2),
-                                               as_numpy=True,
-                                               with_amat=mxu_tables, width=8)
+                                               as_numpy=True, width=8)
                     node_bytes = tables.num_wide_nodes * 512
                     leaf_bytes = tables.num_leaf_rows * 512
                     smem_bytes = (tables.child_meta.size
@@ -332,8 +327,7 @@ class SceneBuilder:
                 # (8-wide entries address 2^22 nodes)
                 tables = build_wide_tables(res, pp0, te1, te2,
                                            np.cross(te1, te2),
-                                           as_numpy=True,
-                                           with_amat=mxu_tables, width=8)
+                                           as_numpy=True, width=8)
                 meta_vmem = (tables.child_meta.size
                              + tables.node_info.size) * 4 >= SMEM_META_CAP
                 instances, blas, blas_np = self._build_instances(
@@ -410,7 +404,7 @@ class SceneBuilder:
                 te1, te2 = pp0 - pp1, pp2 - pp0
                 tables = build_wide_tables(res, pp0, te1, te2,
                                            np.cross(te1, te2), as_numpy=True,
-                                           with_amat=False, width=width)
+                                           width=width)
             blas_np.append(tables)
             blas.append(MeshBlas(tris=tris, bvh=res.to_device(),
                                  tables=None if tables is None

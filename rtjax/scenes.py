@@ -46,8 +46,7 @@ _COLORS = {
 
 def cornell_bunny(bunny_path: str | None = None, max_leaf_size: int | None = 8,
                   bunny_material: str = "matte", floor: str = "matte",
-                  builder: str = "auto",
-                  mxu_tables: bool = False) -> tuple[Scene, Camera]:
+                  builder: str = "auto") -> tuple[Scene, Camera]:
     """The reference demo scene + camera.
 
     ``bunny_material``: "matte" (reference), "mirror", or "glass";
@@ -86,8 +85,7 @@ def cornell_bunny(bunny_path: str | None = None, max_leaf_size: int | None = 8,
     b.add_area_light((0.4, 0.999, -0.4), (0.4, 0.999, -0.6),
                      (0.6, 0.999, -0.6), (15.0, 15.0, 15.0), mats["white"])
 
-    scene = b.build(max_leaf_size=max_leaf_size, builder=builder,
-                    mxu_tables=mxu_tables)
+    scene = b.build(max_leaf_size=max_leaf_size, builder=builder)
     camera = Camera.make((0.5, 0.5, 1.5), (0.5, 0.5, 0.0), (0.0, 1.0, 0.0),
                          37.8, 1.0)
     return scene, camera

@@ -74,7 +74,10 @@ def test_collapse_invariants(packed_scene):
                 assert 0 <= ref < m and ref != n_
                 stack.append(ref)
     assert seen.all()
-    assert sorted(leaf_rows) == list(range(tables.leaf_tris.shape[0]))
+    # the final leaf row is the all-zero dummy (lane-walker pop target):
+    # never referenced by child_meta, rejects every MT test
+    assert sorted(leaf_rows) == list(range(tables.leaf_tris.shape[0] - 1))
+    assert not np.asarray(tables.leaf_tris)[-1].any()
 
 
 def test_wide_closest_matches_xla(packed_scene):
@@ -98,34 +101,6 @@ def test_wide_closest_matches_xla(packed_scene):
     # the kernel-returned geometric normal must equal the hit triangle's
     # stored cross(e1, e2) exactly (it is a copy, not a recomputation)
     np.testing.assert_array_equal(np.asarray(np_)[m], np.asarray(nx_)[m])
-
-
-def test_mxu_drain_matches_vpu_drain(packed_scene):
-    """mxu_drain=True (leaf drains as split-K MXU group matmuls against the
-    HBM A-matrix table) must agree with the VPU drain: identical hit masks,
-    prim ids and normals; t to ~1e-3 relative in the worst case — the
-    split-K contraction drops O(2^-21)-relative cross terms, which
-    near-parallel hits (det -> 0) amplify.  (Hardware parity at 2^17
-    rays: hit/prim agree 1.000000, max t rel 2.8e-4.)"""
-    res, ptris, tables = packed_scene
-    assert tables.leaf_amat is not None
-    assert tables.leaf_amat.shape[1] == 128  # HBM slice alignment
-    n = 2048 + 300
-    o, d = _rays(n)
-    tmax = jnp.full(n, jnp.inf)
-    active = jnp.asarray(np.random.default_rng(5).random(n) > 0.1)
-
-    a = wide_traverse_closest(tables, o, d, tmax, active, interpret=True)
-    m = wide_traverse_closest(tables, o, d, tmax, active, interpret=True,
-                              mxu_drain=True)
-    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(m[0]))
-    msk = np.asarray(a[0])
-    np.testing.assert_allclose(np.asarray(m[1])[msk], np.asarray(a[1])[msk],
-                               rtol=1e-3, atol=1e-6)
-    np.testing.assert_array_equal(np.asarray(m[2])[msk],
-                                  np.asarray(a[2])[msk])
-    np.testing.assert_array_equal(np.asarray(m[3])[msk],
-                                  np.asarray(a[3])[msk])
 
 
 def test_wide_anyhit_matches_xla(packed_scene):
@@ -311,7 +286,9 @@ def _check_tree(tables):
                 assert 0 <= ref < m and ref != n_
                 stack.append(ref)
     assert seen.all()
-    assert sorted(leaf_rows) == list(range(tables.leaf_tris.shape[0]))
+    # final row = unreferenced all-zero dummy (see pack_leaf_rows)
+    assert sorted(leaf_rows) == list(range(tables.leaf_tris.shape[0] - 1))
+    assert not np.asarray(tables.leaf_tris)[-1].any()
 
 
 def test_width16_matches_width8(packed_scene):
