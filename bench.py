@@ -50,6 +50,8 @@ def main() -> None:
         kw["sort_key"] = os.environ["BENCH_SORT_KEY"]
     if os.environ.get("BENCH_CAMERA_ORDER"):
         kw["camera_order"] = os.environ["BENCH_CAMERA_ORDER"]
+    if os.environ.get("BENCH_WALKER"):
+        kw["walker"] = os.environ["BENCH_WALKER"]
     if os.environ.get("BENCH_ONE_SAMPLE_MIS"):
         # one-sample MIS traces FEWER rays for the same image: wall time
         # drops but Mrays/s also counts fewer traversals — compare the

@@ -54,7 +54,7 @@ def main():
     from rtjax.core import rng as rtrng
     from rtjax.render.sorting import (ray_sort_keys_pos_v3,
                                       sort_pytree_by_key)
-    from rtjax.render.wavefront import NUM_RNG_SITES
+    from rtjax.render.wavefront import NUM_RNG_WORDS
 
     log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 18
     n = 1 << log2
@@ -88,8 +88,8 @@ def main():
         @jax.jit
         def f(key):
             def body(i, acc):
-                return acc + jnp.sum(
-                    rtrng.uniform_block(key, i, NUM_RNG_SITES, n))
+                return acc + jnp.sum(rtrng.u01(
+                    rtrng.bits_block(key, i, NUM_RNG_WORDS, n)))
             return jax.lax.fori_loop(0, reps, body, 0.0)
         return f, (key,)
 
@@ -131,7 +131,7 @@ def main():
         return f, (o3, mask)
 
     bench("sort keys+21 cols", build_sort)
-    bench(f"rng uniform_block {NUM_RNG_SITES} sites", build_rng)
+    bench(f"rng bits_block {NUM_RNG_WORDS} words", build_rng)
     bench("fb flush scatter (full width)", build_flush)
     bench("pool-width 4-col gather", build_gather)
     bench("gen arithmetic + 3 selects", build_gen)

@@ -101,6 +101,8 @@ def main():
                 st = res[-1]
                 rounds = int(np.asarray(st[0]))
                 visits = int(np.asarray(st[1]))
+                dr = f" {int(np.asarray(st[2])):6d} drains" \
+                    if len(st) > 2 else ""
                 if mode == "closest":
                     h = np.asarray(res[0])
                     key = (rname, "hits")
@@ -116,7 +118,7 @@ def main():
                     ref.setdefault(key, occ)
                 print(f"{kname:6s} {rname:10s} {mode:7s} "
                       f"{dt*1e3:8.3f} ms  {n/dt/1e6:7.1f} Mrays/s  "
-                      f"{rounds:8d} rounds {visits:8d} visits  "
+                      f"{rounds:8d} rounds {visits:8d} visits{dr}  "
                       f"compile {compile_s:.0f}s{agree}", flush=True)
 
 

@@ -36,10 +36,96 @@ def run_config(name, scene, camera, cfg, key):
                 spp=cfg.num_samples, seconds=dt, rays=rays, mrays=mrays)
 
 
+def parity_check(n=8192, seed=0):
+    """On-hardware kernel parity gate (round-4 verdict #4).
+
+    8k mixed-coherence rays on the bunny scene: the Mosaic-lowered packet
+    AND lane kernels must agree EXACTLY with the XLA traversal oracle on
+    (hit, prim) for closest hits and on occlusion for any-hit.  Interpret-
+    mode tests cannot see Mosaic lowering bugs (the round-3 NaN-poisoned
+    drain tail was exactly that class); this runs on the real chip before
+    every bench session and fails the run loudly.  Returns a result dict;
+    raises SystemExit(1) on any mismatch.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rtjax.kernels.pallas_lane import lane_traverse_closest
+    from rtjax.kernels.pallas_wide import (wide_traverse_anyhit,
+                                           wide_traverse_closest)
+    from rtjax.kernels.traversal import traverse_anyhit, traverse_closest
+    from rtjax.scenes import cornell_bunny
+
+    scene, cam = cornell_bunny()
+    tables, bvh, tris = scene.tables, scene.bvh, scene.tris
+    rng = np.random.default_rng(seed)
+
+    # half coherent camera rays, half incoherent box rays — one batch
+    side = int(np.sqrt(n // 2))
+    u = ((np.arange(side * side) % side) + 0.5) / side
+    v = ((np.arange(side * side) // side) + 0.5) / side
+    oc, dc = cam.get_rays(jnp.asarray(u, jnp.float32),
+                          jnp.asarray(v, jnp.float32))
+    m = n - side * side
+    o_i = rng.uniform(-1, 1, (m, 3)).astype(np.float32)
+    o_i[:, 1] += 1.0
+    d_i = rng.standard_normal((m, 3)).astype(np.float32)
+    d_i /= np.linalg.norm(d_i, axis=1, keepdims=True)
+    o = jnp.concatenate([jnp.asarray(oc), jnp.asarray(o_i)])
+    d = jnp.concatenate([jnp.asarray(dc), jnp.asarray(d_i)])
+    tmax = jnp.full(n, jnp.inf)
+    act = jnp.ones(n, bool)
+    excl = jnp.full(n, -1, jnp.int32)
+
+    ref = traverse_closest(bvh, tris, o, d, tmax, act,
+                           stack_size=max(32, bvh.max_depth + 1))
+    rhit, rt, rprim = (np.asarray(ref[0]), np.asarray(ref[1]),
+                       np.asarray(ref[4]))
+    rocc = np.asarray(traverse_anyhit(bvh, tris, o, d, tmax, excl, act,
+                                      stack_size=max(32, bvh.max_depth + 1)))
+
+    fails = []
+
+    def check_closest(name, out):
+        hit, t, prim = np.asarray(out[0]), np.asarray(out[1]), \
+            np.asarray(out[2])
+        if not (hit == rhit).all():
+            fails.append(f"{name}: hit mask mismatch "
+                         f"({int((hit != rhit).sum())} rays)")
+        # prim may legally differ only where two triangles tie at exactly
+        # the same t; require t to match bitwise everywhere that hits
+        sel = hit & rhit
+        if not (t[sel] == rt[sel]).all():
+            fails.append(f"{name}: t mismatch "
+                         f"({int((t[sel] != rt[sel]).sum())} rays)")
+        tie = sel & (prim != rprim)
+        if tie.any() and not (t[tie] == rt[tie]).all():
+            fails.append(f"{name}: prim mismatch beyond t-ties")
+
+    check_closest("packet", wide_traverse_closest(tables, o, d, tmax, act))
+    check_closest("lane", lane_traverse_closest(tables, o, d, tmax, act))
+    pocc = np.asarray(wide_traverse_anyhit(tables, o, d, tmax, excl, act))
+    if not (pocc == rocc).all():
+        fails.append(f"packet anyhit: occlusion mismatch "
+                     f"({int((pocc != rocc).sum())} rays)")
+
+    if fails:
+        for f in fails:
+            print(f"PARITY FAIL: {f}", file=sys.stderr)
+        raise SystemExit(1)
+    print(f"parity: OK ({n} mixed-coherence rays, packet+lane+anyhit vs "
+          f"XLA oracle, backend={jax.default_backend()})")
+    return dict(n=n, ok=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="reduced resolutions/spp for smoke runs")
+    ap.add_argument("--parity", action="store_true",
+                    help="run ONLY the on-hardware kernel parity gate")
+    ap.add_argument("--no-parity", action="store_true",
+                    help="skip the parity gate that precedes bench runs")
     ap.add_argument("--configs", default="1,2,3,4,5")
     ap.add_argument("--pool", type=int, default=None)
     ap.add_argument("--sort-key", default=None,
@@ -55,6 +141,12 @@ def main():
                       os.environ.get("JAX_CACHE_DIR",
                                      "/tmp/rtjax-jit-cache-tpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    parity = None
+    if not args.no_parity:
+        parity = parity_check()
+        if args.parity:
+            return
     import numpy as np
     from rtjax import Camera, RenderConfig, SceneBuilder, Transform
     from rtjax.scene.transform import rotate, scale, translate
@@ -162,6 +254,9 @@ def main():
     with open(out, "a") as f:
         f.write(f"\n## {datetime.datetime.now().isoformat(timespec='seconds')}"
                 f" ({jax.devices()[0].device_kind})\n\n")
+        if parity is not None:
+            f.write(f"parity gate: OK ({parity['n']} rays, packet+lane+"
+                    "anyhit vs XLA oracle, on hardware)\n\n")
         f.write("| config | res | spp | seconds | rays | Mrays/s |\n")
         f.write("|---|---|---|---|---|---|\n")
         for r in results:

@@ -31,6 +31,16 @@ class RenderConfig:
     # traversal kernel: "pallas" (packet kernels, TPU fast path), "xla"
     # (gather-based vmapped while_loop), or "auto" (pallas on TPU)
     traversal: str = "auto"
+    # closest-hit walk schedule on the pallas path: "packet" (one shared
+    # traversal cursor per 2048-ray tile, kernels/pallas_wide.py) or "lane"
+    # (16 independent per-sublane walkers per tile, kernels/pallas_lane.py
+    # — cuts tile-union divergence and drains up to 16 leaf rows per vector
+    # pass).  "auto" picks lane whenever the scene is eligible (unpacked
+    # node rows, VMEM-resident leaf table, build depth within the lane
+    # stack).  Any-hit always stays on the packet kernel: shadow rays
+    # early-out at tile level and the lane schedule's per-sublane visit
+    # duplication measured 1.8x slower there (benchmarks/lane_vs_packet.py).
+    walker: str = "auto"
     # sort rays by (octant, origin Morton) before packet traversal
     sort_rays: bool = True
     # sort key: "morton" (octant-major origin cell), "morton_pos"

@@ -43,3 +43,35 @@ def uniform_block(base_key, iteration, num_sites: int, n: int) -> jax.Array:
     """
     key = jax.random.fold_in(base_key, iteration)
     return jax.random.uniform(key, (num_sites, n), jnp.float32)
+
+
+def bits_block(base_key, iteration, num_words: int, n: int) -> jax.Array:
+    """Raw random words for one iteration: ``[num_words, n]`` uint32.
+
+    The engine converts words to uniforms itself (u01/u01_pair below), so
+    draw sites that only need 16-bit resolution — 2-D jitter pairs like the
+    subpixel offset or light-surface barycentrics — share ONE word, cutting
+    the per-iteration threefry sweep from 12 to 8 words (engine floor diet,
+    round 4).  Threefry cost is linear in words generated.
+    """
+    key = jax.random.fold_in(base_key, iteration)
+    return jax.random.bits(key, (num_words, n), jnp.uint32)
+
+
+def u01(word) -> jax.Array:
+    """uint32 word -> U[0,1) float32 with the standard 24-bit resolution
+    (matches jax.random.uniform's mantissa-width draw)."""
+    return (word >> 8).astype(jnp.float32) * jnp.float32(2 ** -24)
+
+
+def u01_pair(word) -> tuple[jax.Array, jax.Array]:
+    """uint32 word -> two independent U[0,1) float32 of 16-bit resolution.
+
+    The halves of one threefry word are independent uniforms; 16 bits is
+    ample for subpixel jitter (< 2^-16 px quantization) and light-triangle
+    barycentrics.  Estimator parity is statistical, not bitwise (module
+    docstring), so the quantization is within contract.
+    """
+    s = jnp.float32(2 ** -16)
+    return ((word >> 16).astype(jnp.float32) * s,
+            (word & jnp.uint32(0xffff)).astype(jnp.float32) * s)

@@ -198,10 +198,19 @@ def _descend_one(s, m, cur, sp, qn, octs, cm_at, info_read, stack_ref,
     """One sublane's scalar descent: enqueue leaf hits, descend the first
     internal hit (push the rest as one mask-stack entry) or pop.  Mirrors
     pallas_wide._walk_step's scalar half on the sublane's private stack
-    slice [s*LSTACK, (s+1)*LSTACK) and queue slice [s*LQUEUE, ...)."""
+    slice [s*LSTACK, (s+1)*LSTACK) and queue slice [s*LQUEUE, ...).
+
+    A sublane whose queue lacks headroom for a full node of leaves STALLS:
+    it keeps its cursor and does nothing this round, while other sublanes
+    keep walking and filling their queues.  The walk chunk then ends only
+    when every live sublane is stalled or done, so drains start with
+    BALANCED queues — lockstep drain rounds cost max(qn_s), and without
+    stalling one hot sublane forced a drain while the others held ~nothing
+    (measured imbalance was the lane walker's largest overhead)."""
     mask_all = (1 << width) - 1
     shift = width + 1
-    active = cur != IDLE
+    stall = qn > LQUEUE - width
+    active = (cur != IDLE) & ~stall
     node = jnp.maximum(cur, 0)
     m = jnp.where(active, m, 0)
 
@@ -238,7 +247,7 @@ def _descend_one(s, m, cur, sp, qn, octs, cm_at, info_read, stack_ref,
     prev = entry & 1
     pfirst = _pick(pmask, prev)
     prest = pmask & ~(1 << pfirst)
-    do_pop = ~has & can_pop
+    do_pop = ~has & ~stall & can_pop
 
     @pl.when(do_pop & (prest != 0))
     def _():
@@ -248,7 +257,8 @@ def _descend_one(s, m, cur, sp, qn, octs, cm_at, info_read, stack_ref,
     nxt_pop = cm_at(pnode)(pfirst) >> 4
 
     new_cur = jnp.where(has, nxt_direct,
-                        jnp.where(do_pop, nxt_pop, IDLE))
+                        jnp.where(do_pop, nxt_pop,
+                                  jnp.where(stall, cur, IDLE)))
     return new_cur, sp, qn
 
 
@@ -275,7 +285,9 @@ def _lane_walk_round(curs, sps, qns, tmax, octs, refs, inv, sc, width):
 def _lane_drain(qns, tmax, ds, lt_ref, q_ref, drain_fn):
     """Lockstep leaf drain: round r pops queue entry r of every sublane
     (the dummy row when r >= qn_s) and runs one [16, 128] MT pass.
-    Returns (tmax, ds, visits) with all queues conceptually emptied."""
+    Returns (tmax, ds, visits, rounds) with all queues conceptually
+    emptied; ``rounds`` = max(qn_s) is the drain's vector-pass cost, which
+    the stall-balanced walk chunks keep close to visits/SUBLANES."""
     dummy = lt_ref.shape[0] - 1  # pack_leaf_rows' all-zero trailing row
     rounds = qns[0]
     visits = qns[0]
@@ -293,14 +305,14 @@ def _lane_drain(qns, tmax, ds, lt_ref, q_ref, drain_fn):
 
     _, tmax, ds = jax.lax.while_loop(lambda c2: c2[0] < rounds, body,
                                      (jnp.int32(0), tmax, ds))
-    return tmax, ds, visits
+    return tmax, ds, visits, rounds
 
 
 def _run_lane_walk(refs, lt_ref, inv, sc, octs, roots, tmax, ds, drain_fn,
                    stop_fn, width):
     """Alternate lockstep walk rounds with lockstep drains until every
     sublane's cursor is idle, every stack empty, and every queue drained.
-    Returns (rounds, visits, tmax, ds)."""
+    Returns (rounds, visits, drain_rounds, tmax, ds)."""
     q_ref = refs[4]
     zero = jnp.int32(0)
     curs0 = tuple(roots)
@@ -322,18 +334,22 @@ def _run_lane_walk(refs, lt_ref, inv, sc, octs, roots, tmax, ds, drain_fn,
         return q
 
     def outer_cond(carry):
-        curs, sps, qns, ds = carry[0], carry[1], carry[2], carry[6]
+        curs, sps, qns, ds = carry[0], carry[1], carry[2], carry[7]
         return ~stop_fn(ds) & (alive(curs, sps) | any_q(qns))
 
     def outer_body(carry):
-        curs, sps, qns, rounds, visits, tmax, ds = carry
+        curs, sps, qns, rounds, visits, drounds, tmax, ds = carry
 
         def walk_cond(c2):
+            # keep walking while ANY sublane can still advance: stalled
+            # (queue-full) sublanes idle in place while the rest fill
+            # their queues, so every drain starts near-balanced
             curs, sps, qns, _ = c2
-            room = qns[0] <= LQUEUE - width
-            for q in qns[1:]:
-                room = room & (q <= LQUEUE - width)
-            return alive(curs, sps) & room
+            go = None
+            for c, p, q in zip(curs, sps, qns):
+                g = ((c != IDLE) | (p > 0)) & (q <= LQUEUE - width)
+                go = g if go is None else (go | g)
+            return go
 
         def walk_body(c2):
             curs, sps, qns, rounds = c2
@@ -343,13 +359,14 @@ def _run_lane_walk(refs, lt_ref, inv, sc, octs, roots, tmax, ds, drain_fn,
 
         curs, sps, qns, rounds = jax.lax.while_loop(
             walk_cond, walk_body, (curs, sps, qns, rounds))
-        tmax, ds, nv = _lane_drain(qns, tmax, ds, lt_ref, q_ref, drain_fn)
+        tmax, ds, nv, nd = _lane_drain(qns, tmax, ds, lt_ref, q_ref,
+                                       drain_fn)
         return (curs, sps, (jnp.int32(0),) * SUBLANES, rounds,
-                visits + nv, tmax, ds)
+                visits + nv, drounds + nd, tmax, ds)
 
     out = jax.lax.while_loop(outer_cond, outer_body,
-                             (curs0, sps0, qns0, zero, zero, tmax, ds))
-    return out[3], out[4], out[5], out[6]
+                             (curs0, sps0, qns0, zero, zero, zero, tmax, ds))
+    return out[3], out[4], out[5], out[6], out[7]
 
 
 def _make_lane_closest_kernel(meta_vmem: bool = False, width: int = WIDTH):
@@ -397,7 +414,7 @@ def _make_lane_closest_kernel(meta_vmem: bool = False, width: int = WIDTH):
       ds0 = (jnp.full(tmax.shape, BIG, jnp.float32),
              jnp.full(tmax.shape, -1, jnp.int32),
              (jnp.zeros_like(tmax),) * 3)
-      rounds, visits, _, ds = _run_lane_walk(
+      rounds, visits, drounds, _, ds = _run_lane_walk(
           refs, lt_ref, inv, sc, octs, roots, tmax, ds0, drain_fn,
           lambda ds: jnp.bool_(False), width)
       t, prim, n3 = ds
@@ -410,6 +427,7 @@ def _make_lane_closest_kernel(meta_vmem: bool = False, width: int = WIDTH):
       nz_ref[ti] = n3[2]
       st_ref[ti, 0] = rounds
       st_ref[ti, 1] = visits
+      st_ref[ti, 2] = drounds
       return 0
 
     jax.lax.fori_loop(0, n_tiles, tile_body, 0)
@@ -454,12 +472,13 @@ def _make_lane_anyhit_kernel(meta_vmem: bool = False, width: int = WIDTH):
           return jnp.where(occ != 0, -BIG, tmax), occ
 
       stop = lambda occ: jnp.all((occ != 0) | ~valid)
-      rounds, visits, _, occluded = _run_lane_walk(
+      rounds, visits, drounds, _, occluded = _run_lane_walk(
           refs, lt_ref, inv, sc, octs, roots, tmax,
           jnp.zeros(tmax.shape, jnp.int32), drain_fn, stop, width)
       occ_ref[ti] = jnp.where((occluded != 0) & valid, 1, 0)
       st_ref[ti, 0] = rounds
       st_ref[ti, 1] = visits
+      st_ref[ti, 2] = drounds
       return 0
 
     jax.lax.fori_loop(0, n_tiles, tile_body, 0)
@@ -507,7 +526,7 @@ def lane_traverse_closest(tables: WideTables, origin, direction, tmax,
                  jax.ShapeDtypeStruct(shp, jnp.float32),
                  jax.ShapeDtypeStruct(shp, jnp.int32)]
     out_shape += [jax.ShapeDtypeStruct(shp, jnp.float32)] * 3
-    out_shape += [jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32)]
+    out_shape += [jax.ShapeDtypeStruct((n_tiles, 3), jnp.int32)]
     outs = pl.pallas_call(
         _make_lane_closest_kernel(meta_vmem, tables.width),
         in_specs=in_specs,
@@ -528,7 +547,11 @@ def lane_traverse_closest(tables: WideTables, origin, direction, tmax,
         normal = jnp.stack(normal, axis=-1)
     out = (hit, flat(t), prim, normal)
     if with_stats:
-        out = out + ((jnp.sum(st[:, 0]), jnp.sum(st[:, 1])),)
+        # (walk rounds, enqueued visits, lockstep drain rounds): the first
+        # two match the packet kernel's stats contract; engine consumers
+        # index [0]/[1], benches read the drain-round cost from [2]
+        out = out + ((jnp.sum(st[:, 0]), jnp.sum(st[:, 1]),
+                      jnp.sum(st[:, 2])),)
     return out
 
 
@@ -563,7 +586,7 @@ def lane_traverse_anyhit(tables: WideTables, origin, direction, tmax,
         in_specs=in_specs,
         out_specs=[_VMEM, _SMEM],
         out_shape=[jax.ShapeDtypeStruct((n_tiles, SUBLANES, 128), jnp.int32),
-                   jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32)],
+                   jax.ShapeDtypeStruct((n_tiles, 3), jnp.int32)],
         scratch_shapes=_lane_scratch(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(tables, n_pad)),
@@ -571,5 +594,6 @@ def lane_traverse_anyhit(tables: WideTables, origin, direction, tmax,
     )(*ins)
     occluded = occ.reshape(n_pad)[:n] != 0
     if with_stats:
-        return occluded, (jnp.sum(st[:, 0]), jnp.sum(st[:, 1]))
+        return occluded, (jnp.sum(st[:, 0]), jnp.sum(st[:, 1]),
+                          jnp.sum(st[:, 2]))
     return occluded

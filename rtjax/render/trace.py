@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import v3
+from ..kernels.pallas_lane import LSTACK, lane_traverse_closest
 from ..kernels.pallas_wide import (SMEM_META_CAP, wide_traverse_anyhit,
                                    wide_traverse_anyhit_inst,
                                    wide_traverse_closest,
@@ -70,14 +71,38 @@ def resolve_mode(scene, cfg):
     return mode, interp
 
 
+def _lane_eligible(tables, bvh, leaf_hbm):
+    """Static gate for the per-sublane walker: it needs unpacked node rows,
+    a VMEM-resident leaf table, and the build's depth within its private
+    stack slices (wide-tree depth <= binary build depth <= LSTACK)."""
+    return (tables is not None and not tables.packed_nodes and not leaf_hbm
+            and bvh.max_depth <= LSTACK)
+
+
 def _backend(mode, interp, tables, bvh, tris, stack_size, with_stats=False,
-             leaf_hbm=False, meta_vmem=False):
+             leaf_hbm=False, meta_vmem=False, walker="packet"):
     if mode == "pallas":
         assert tables is not None, (
             "traversal='pallas' needs scenes built with max_leaf_size <= 8")
-        return (partial(wide_traverse_closest, tables, interpret=interp,
-                        with_stats=with_stats, leaf_hbm=leaf_hbm,
-                        meta_vmem=meta_vmem),
+        if walker == "auto":
+            walker = "lane" if _lane_eligible(tables, bvh, leaf_hbm) \
+                else "packet"
+        if walker == "lane" and not _lane_eligible(tables, bvh, leaf_hbm):
+            _warn_once(("lane", id(tables)),
+                       "walker='lane' requested but the scene is ineligible "
+                       "(packed node rows / HBM leaf table / deep build); "
+                       "falling back to the packet walker")
+            walker = "packet"
+        if walker == "lane":
+            closest = partial(lane_traverse_closest, tables, interpret=interp,
+                              with_stats=with_stats, meta_vmem=meta_vmem)
+        else:
+            closest = partial(wide_traverse_closest, tables, interpret=interp,
+                              with_stats=with_stats, leaf_hbm=leaf_hbm,
+                              meta_vmem=meta_vmem)
+        # any-hit stays on the packet kernel: tile-level early-out plus no
+        # per-sublane visit duplication wins there (lane_vs_packet.py)
+        return (closest,
                 partial(wide_traverse_anyhit, tables, interpret=interp,
                         with_stats=with_stats, leaf_hbm=leaf_hbm,
                         meta_vmem=meta_vmem))
@@ -187,11 +212,14 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
     closest, _ = _backend(mode, interp, scene.tables, scene.bvh, scene.tris,
                           cfg.stack_size, with_stats,
                           getattr(scene, "leaf_hbm", False),
-                          getattr(scene, "meta_vmem", False))
+                          getattr(scene, "meta_vmem", False),
+                          walker=getattr(cfg, "walker", "packet"))
     hit, t, prim, n_w, *st = closest(o, d, tmax, active)
     t = jnp.where(hit, t, tmax)
     src = jnp.zeros_like(prim)
-    steps, leafs = st[0] if with_stats else (0, 0)
+    # lane-walker stats carry a third (drain-round) counter; the engine
+    # consumes the shared (walk rounds, leaf visits) prefix
+    steps, leafs = (st[0][0], st[0][1]) if with_stats else (0, 0)
 
     if inst is not None:
         for k in range(inst.num):
@@ -204,7 +232,8 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
                 _warn_blas_fallback(inst.mesh_id[k])
             c_k, _ = _backend(mode_k, interp, blas.tables, blas.bvh,
                               blas.tris, cfg.stack_size, with_stats,
-                              meta_vmem=_tables_meta_vmem(blas.tables))
+                              meta_vmem=_tables_meta_vmem(blas.tables),
+                              walker=getattr(cfg, "walker", "packet"))
             m = active & _instance_mask(inst, k, o, d)
             o_l = _affine_point_v3(inst.inv[k], o)
             d_l = _affine_vector_v3(inst.inv[k], d)  # NOT normalized:

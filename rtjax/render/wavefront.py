@@ -73,14 +73,20 @@ from .sorting import (ray_sort_keys_pos_v3, ray_sort_keys_prim_pos_v3,
                       ray_sort_keys_prim_v3, ray_sort_keys_v3,
                       sort_pytree_by_key)
 
-# RNG draw-site ids (one threefry sweep per site per iteration)
-_S_RR = 0
-_S_BSDF1 = 1        # 1,2,3
-_S_LIGHT_PICK = 4
-_S_LIGHT_UV = 5     # 5,6
-_S_BSDF2 = 7        # 7,8,9
-_S_GEN = 10         # 10,11
-NUM_RNG_SITES = 12
+# RNG word ids — ONE threefry sweep of NUM_RNG_WORDS x [N] uint32 per
+# iteration (rng.bits_block).  Two diets vs the naive 12-site layout:
+# 2-D jitter pairs (light barycentrics, subpixel offset) split one word
+# into two 16-bit uniforms (rng.u01_pair), and each BSDF block's glass
+# reflect/refract draw aliases its matte u1 — a lane is exactly one
+# material, so matte lanes consume (u1, u2) and glass lanes consume only
+# u3, never both.  12 -> 8 words per iteration.
+_W_RR = 0
+_W_BSDF1 = 1        # words 1,2 -> (u1, u2); u3 aliases u1
+_W_LIGHT_PICK = 3
+_W_LIGHT_UV = 4     # 16/16 split pair
+_W_BSDF2 = 5        # words 5,6 -> (u1, u2); u3 aliases u1
+_W_GEN = 7          # 16/16 split pair
+NUM_RNG_WORDS = 8
 
 
 @jax.tree_util.register_dataclass
@@ -179,12 +185,13 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     t_anyhit = partial(trace_anyhit, scene, cfg, mode, interp,
                        with_stats=cfg.detailed_stats)
 
-    # all RNG sites of this iteration in one threefry sweep.  Draws are
+    # all RNG words of this iteration in one threefry sweep.  Draws are
     # slot-position-indexed; the state sort below re-seats paths between
     # draw sites, which is statistically free (iid uniforms, each consumed
     # once) and keeps the whole iteration a fixed-shape pipeline.
-    _uniforms = rng.uniform_block(key, it, NUM_RNG_SITES, n)
-    draw = lambda site: _uniforms[site]
+    _words = rng.bits_block(key, it, NUM_RNG_WORDS, n)
+    draw = lambda w: rng.u01(_words[w])
+    draw_pair = lambda w: rng.u01_pair(_words[w])
 
     # ---- init: emission, Russian roulette, routing (render.cuh:84-137) ----
     prim_safe = jnp.clip(state.prim, 0, scene.tris.num - 1)
@@ -210,7 +217,7 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     rr_cand = alive & state.hit & (state.bounces > cfg.rr_start) & \
         (beta_max < cfg.rr_threshold)
     p_term = jnp.maximum(0.05, 1.0 - beta_max)
-    rr_kill = rr_cand & (draw(_S_RR) < p_term)
+    rr_kill = rr_cand & (draw(_W_RR) < p_term)
     rr_boost = jnp.where(rr_cand & ~rr_kill, 1.0 / (1.0 - p_term), 1.0)
     beta = v3.scale(rr_boost, beta)
 
@@ -376,11 +383,13 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
                    chs_t=chs_t)
         return out
 
+    b1u1, b1u2 = draw(_W_BSDF1), draw(_W_BSDF1 + 1)
+    b2u1, b2u2 = draw(_W_BSDF2), draw(_W_BSDF2 + 1)
     shade_in = (src, prim, beta, ray_o_p, ray_d_p, t_p, normal, mat_mask,
-                (draw(_S_BSDF1), draw(_S_BSDF1 + 1), draw(_S_BSDF1 + 2)),
-                draw(_S_LIGHT_PICK),
-                (draw(_S_LIGHT_UV), draw(_S_LIGHT_UV + 1)),
-                (draw(_S_BSDF2), draw(_S_BSDF2 + 1), draw(_S_BSDF2 + 2)))
+                (b1u1, b1u2, b1u1),
+                draw(_W_LIGHT_PICK),
+                draw_pair(_W_LIGHT_UV),
+                (b2u1, b2u2, b2u1))
     C = cfg.shade_chunks
     if state_sorted and C > 1 and n % C == 0:
         # prefix-windowed shading: continuing lanes are a contiguous prefix
@@ -454,8 +463,9 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         pix_new = pix_rank  # raw pixel-major sample ids
     ci = (pix_new % cfg.width).astype(jnp.float32)
     cj = (pix_new // cfg.width).astype(jnp.float32)
-    cam_o, cam_d = camera.get_rays_v3((ci + draw(_S_GEN)) / cfg.width,
-                                      (cj + draw(_S_GEN + 1)) / cfg.height)
+    gen_u, gen_v = draw_pair(_W_GEN)
+    cam_o, cam_d = camera.get_rays_v3((ci + gen_u) / cfg.width,
+                                      (cj + gen_v) / cfg.height)
     num_gen = jnp.sum(gen_mask).astype(jnp.int32)
 
     # flush the radiance accumulators of slots leaving their pixel: ONE

@@ -103,15 +103,36 @@ def _rows_v3(table, pick):
 
 
 def gather_light_v3(lights: LightTable, pick):
-    """Component-triple form of :func:`gather_light` (engine hot path)."""
-    return (take_rows(lights.ltype, pick),
-            _rows_v3(lights.pos, pick),
-            _rows_v3(lights.emit, pick),
-            take_rows(lights.tri, pick),
-            _rows_v3(lights.tri_p0, pick),
-            _rows_v3(lights.tri_e1, pick),
-            _rows_v3(lights.tri_e2, pick),
-            _rows_v3(lights.tri_n, pick))
+    """Component-triple form of :func:`gather_light` (engine hot path).
+
+    Up to :data:`~rtjax.core.tables.SELECT_LIMIT` lights this is 20 vector
+    select chains (~10 us/row at pool width, no HBM traffic).  Beyond that
+    the chains would cost ~L*0.2 ms/iteration, so the many-light path packs
+    the whole record into ONE ``[L, 20]`` row matrix and pays a single
+    row gather (~1 ms at pool width on v5e, flat in L) instead of 20
+    per-column gathers.  ``tri`` indices survive the f32 round-trip exactly
+    below 2^24 triangles — far above the single-BLAS ceiling.
+    """
+    from ..core.tables import SELECT_LIMIT
+    if lights.num <= SELECT_LIMIT:
+        return (take_rows(lights.ltype, pick),
+                _rows_v3(lights.pos, pick),
+                _rows_v3(lights.emit, pick),
+                take_rows(lights.tri, pick),
+                _rows_v3(lights.tri_p0, pick),
+                _rows_v3(lights.tri_e1, pick),
+                _rows_v3(lights.tri_e2, pick),
+                _rows_v3(lights.tri_n, pick))
+    packed = jnp.concatenate(
+        [lights.ltype[:, None].astype(jnp.float32),
+         lights.tri[:, None].astype(jnp.float32),
+         lights.pos, lights.emit, lights.tri_p0, lights.tri_e1,
+         lights.tri_e2, lights.tri_n], axis=1)         # [L, 20] jit constant
+    rows = packed[jnp.clip(pick, 0, lights.num - 1)]   # ONE [N, 20] gather
+    col = lambda k: rows[:, k]
+    trip = lambda k: (col(k), col(k + 1), col(k + 2))
+    return (col(0).astype(jnp.int32), trip(2), trip(5),
+            col(1).astype(jnp.int32), trip(8), trip(11), trip(14), trip(17))
 
 
 def sample_li_v3(lights: LightTable, pick, isect_p, u1, u2, rec=None):

@@ -86,8 +86,11 @@ def test_lane_closest_matches_packet(lane_scene):
     for a, b in zip(out_l[:3], out_p[:3]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(out_l[3]), np.asarray(out_p[3]))
-    rounds, visits = (int(np.asarray(x)) for x in out_l[4])
+    rounds, visits, drounds = (int(np.asarray(x)) for x in out_l[4])
     assert rounds > 0 and visits > 0
+    # lockstep drains cost max(qn) per call; balanced queues keep the
+    # vector-pass count within [visits/16, visits]
+    assert visits / 16 <= drounds <= visits
 
 
 def test_lane_anyhit_matches_xla(lane_scene):
