@@ -68,11 +68,21 @@ LSTACK = 40     # per-sublane mask-stack depth: pushes consume one tree
                 # level each, wide depth <= binary depth <= ~30 + margin
                 # (render/trace.py refuses the lane walker when the build's
                 # actual depth exceeds this)
-# per-sublane leaf-queue capacity.  The walk chunk stops when ANY sublane
-# has less than `width` headroom, so the cap trades drain batching (bigger
-# cap = more walk rounds per drain = fuller lockstep drains) against the
-# stale-tmax window (same trade as the packet kernel's QUEUE_CAP sweep).
+# per-sublane leaf-queue capacity (power of two: queues are FIFO rings).
+# When any sublane's headroom drops below `width` the tile takes a PARTIAL
+# drain — only the dense head rounds, down to full headroom — and resumes
+# walking; the full flush happens once every walk is dry.  Entries from
+# many chunks accumulate, so drain rounds run with most queues nonempty
+# (measured: full drains at chunk end averaged ~5 of 16 possible visits
+# per vector pass, the lane walker's largest overhead).
 LQUEUE = int(_os.environ.get("RTJAX_LQUEUE", "0")) or 32
+assert LQUEUE & (LQUEUE - 1) == 0, "ring indexing needs a power of two"
+# per-sublane stall (A/B flag, default OFF — measured loss): 1 = a
+# queue-full sublane idles in place while the rest keep filling; deferring
+# drains this way widened the stale-tmax window and ADDED walk rounds
+# (582 vs 379 on coherent bunny tiles) — early drains' tmax feedback
+# beats drain balance.  Partial drains (above) get both.
+LSTALL = _os.environ.get("RTJAX_LSTALL", "0") != "0"
 
 
 def _row_tile(table_ref, idxs):
@@ -194,7 +204,7 @@ def _sublane_octants(xch_ref, d, valid):
 
 
 def _descend_one(s, m, cur, sp, qn, octs, cm_at, info_read, stack_ref,
-                 q_ref, width):
+                 q_ref, width, qh=None):
     """One sublane's scalar descent: enqueue leaf hits, descend the first
     internal hit (push the rest as one mask-stack entry) or pop.  Mirrors
     pallas_wide._walk_step's scalar half on the sublane's private stack
@@ -209,7 +219,7 @@ def _descend_one(s, m, cur, sp, qn, octs, cm_at, info_read, stack_ref,
     (measured imbalance was the lane walker's largest overhead)."""
     mask_all = (1 << width) - 1
     shift = width + 1
-    stall = qn > LQUEUE - width
+    stall = (qn > LQUEUE - width) if LSTALL else jnp.bool_(False)
     active = (cur != IDLE) & ~stall
     node = jnp.maximum(cur, 0)
     m = jnp.where(active, m, 0)
@@ -222,9 +232,11 @@ def _descend_one(s, m, cur, sp, qn, octs, cm_at, info_read, stack_ref,
     int_hits = m & ~lm & mask_all
     cm_node = cm_at(node)
 
+    base = jnp.int32(0) if qh is None else qh
+
     def q_body(c2):
         lh, q = c2
-        q_ref[s * LQUEUE + q] = cm_node(_ctz(lh))
+        q_ref[s * LQUEUE + ((base + q) & (LQUEUE - 1))] = cm_node(_ctz(lh))
         return lh & (lh - 1), q + 1
 
     _, qn = jax.lax.while_loop(lambda c2: c2[0] != 0, q_body,
@@ -262,9 +274,11 @@ def _descend_one(s, m, cur, sp, qn, octs, cm_at, info_read, stack_ref,
     return new_cur, sp, qn
 
 
-def _lane_walk_round(curs, sps, qns, tmax, octs, refs, inv, sc, width):
+def _lane_walk_round(curs, sps, qns, tmax, octs, refs, inv, sc, width,
+                     qhs=None):
     """One lockstep round: slab-test all 16 cursors' nodes (one vector
-    pass), then run 16 independent scalar descents."""
+    pass), then run 16 independent scalar descents.  ``qhs``: per-sublane
+    FIFO ring heads (None = queues start at slot 0, the full-drain mode)."""
     nb_ref, cm_at, info_read, stack_ref, q_ref, xch_ref = refs
     nodes = [jnp.maximum(c, 0) for c in curs]
     row_b = _row_tile(nb_ref, nodes)
@@ -275,49 +289,72 @@ def _lane_walk_round(curs, sps, qns, tmax, octs, refs, inv, sc, width):
     new_c, new_s, new_q = [], [], []
     for s in range(SUBLANES):
         c, p, q = _descend_one(s, masks[s], curs[s], sps[s], qns[s], octs,
-                               cm_at, info_read, stack_ref, q_ref, width)
+                               cm_at, info_read, stack_ref, q_ref, width,
+                               None if qhs is None else qhs[s])
         new_c.append(c)
         new_s.append(p)
         new_q.append(q)
     return tuple(new_c), tuple(new_s), tuple(new_q)
 
 
-def _lane_drain(qns, tmax, ds, lt_ref, q_ref, drain_fn):
+def _lane_drain(qns, tmax, ds, lt_ref, q_ref, drain_fn, qhs=None,
+                flush=None, width=WIDTH):
     """Lockstep leaf drain: round r pops queue entry r of every sublane
     (the dummy row when r >= qn_s) and runs one [16, 128] MT pass.
-    Returns (tmax, ds, visits, rounds) with all queues conceptually
-    emptied; ``rounds`` = max(qn_s) is the drain's vector-pass cost, which
-    the stall-balanced walk chunks keep close to visits/SUBLANES."""
+
+    Full mode (qhs is None): empties every queue; rounds = max(qn_s).
+    PARTIAL mode (FIFO rings): drains only the DENSE head rounds — enough
+    that every queue regains ``width`` headroom — unless ``flush`` is set
+    (walks all dry), which empties everything.  Entries accumulate across
+    walk chunks, so partial rounds run with most queues nonempty (~3x the
+    visits per vector pass of chunk-end full drains), while draining as
+    EARLY as the full mode keeps the tmax feedback that prunes the walk.
+
+    Returns (tmax, ds, visits, rounds, new_qhs, new_qns)."""
     dummy = lt_ref.shape[0] - 1  # pack_leaf_rows' all-zero trailing row
-    rounds = qns[0]
-    visits = qns[0]
+    mx = qns[0]
     for q in qns[1:]:
-        rounds = jnp.maximum(rounds, q)
-        visits = visits + q
+        mx = jnp.maximum(mx, q)
+    if qhs is None:
+        rounds = mx
+        heads = (jnp.int32(0),) * SUBLANES
+    else:
+        rounds = jnp.where(flush, mx,
+                           jnp.maximum(mx - (LQUEUE - width), 0))
+        heads = qhs
+    visits = jnp.int32(0)
+    for q in qns:
+        visits = visits + jnp.minimum(q, rounds)
 
     def body(c2):
         r, tmax, ds = c2
-        idxs = [jnp.where(r < qns[s], q_ref[s * LQUEUE + r] >> 4, dummy)
-                for s in range(SUBLANES)]
+        idxs = [jnp.where(
+            r < qns[s],
+            q_ref[s * LQUEUE + ((heads[s] + r) & (LQUEUE - 1))] >> 4,
+            dummy) for s in range(SUBLANES)]
         row_b = _row_tile(lt_ref, idxs)
         tmax, ds = drain_fn(row_b, tmax, ds)
         return r + 1, tmax, ds
 
     _, tmax, ds = jax.lax.while_loop(lambda c2: c2[0] < rounds, body,
                                      (jnp.int32(0), tmax, ds))
-    return tmax, ds, visits, rounds
+    popped = [jnp.minimum(q, rounds) for q in qns]
+    new_qhs = tuple((h + p) & (LQUEUE - 1) for h, p in zip(heads, popped))
+    new_qns = tuple(q - p for q, p in zip(qns, popped))
+    return tmax, ds, visits, rounds, new_qhs, new_qns
 
 
 def _run_lane_walk(refs, lt_ref, inv, sc, octs, roots, tmax, ds, drain_fn,
                    stop_fn, width):
-    """Alternate lockstep walk rounds with lockstep drains until every
-    sublane's cursor is idle, every stack empty, and every queue drained.
-    Returns (rounds, visits, drain_rounds, tmax, ds)."""
+    """Alternate lockstep walk chunks with PARTIAL lockstep drains until
+    every sublane's cursor is idle, every stack empty, and every FIFO ring
+    drained.  Returns (rounds, visits, drain_rounds, tmax, ds)."""
     q_ref = refs[4]
     zero = jnp.int32(0)
     curs0 = tuple(roots)
     sps0 = (zero,) * SUBLANES
     qns0 = (zero,) * SUBLANES
+    qhs0 = (zero,) * SUBLANES
 
     def alive(curs, sps):
         a = curs[0] != IDLE
@@ -334,39 +371,51 @@ def _run_lane_walk(refs, lt_ref, inv, sc, octs, roots, tmax, ds, drain_fn,
         return q
 
     def outer_cond(carry):
-        curs, sps, qns, ds = carry[0], carry[1], carry[2], carry[7]
+        curs, sps, qns, ds = carry[0], carry[1], carry[2], carry[8]
         return ~stop_fn(ds) & (alive(curs, sps) | any_q(qns))
 
     def outer_body(carry):
-        curs, sps, qns, rounds, visits, drounds, tmax, ds = carry
+        curs, sps, qns, qhs, rounds, visits, drounds, tmax, ds = carry
 
         def walk_cond(c2):
-            # keep walking while ANY sublane can still advance: stalled
-            # (queue-full) sublanes idle in place while the rest fill
-            # their queues, so every drain starts near-balanced
+            # LSTALL: keep walking while ANY sublane can still advance —
+            # stalled (queue-full) sublanes idle in place while the rest
+            # fill their queues.  Default: any full queue ends the chunk
+            # for the whole tile (cond = any(alive) & all(room)); the
+            # partial drain below then takes only the dense head rounds.
             curs, sps, qns, _ = c2
-            go = None
+            if LSTALL:
+                go = None
+                for c, p, q in zip(curs, sps, qns):
+                    g = ((c != IDLE) | (p > 0)) & (q <= LQUEUE - width)
+                    go = g if go is None else (go | g)
+                return go
+            any_alive, all_room = None, None
             for c, p, q in zip(curs, sps, qns):
-                g = ((c != IDLE) | (p > 0)) & (q <= LQUEUE - width)
-                go = g if go is None else (go | g)
-            return go
+                a = (c != IDLE) | (p > 0)
+                r = q <= LQUEUE - width
+                any_alive = a if any_alive is None else (any_alive | a)
+                all_room = r if all_room is None else (all_room & r)
+            return any_alive & all_room
 
         def walk_body(c2):
             curs, sps, qns, rounds = c2
             curs, sps, qns = _lane_walk_round(curs, sps, qns, tmax, octs,
-                                              refs, inv, sc, width)
+                                              refs, inv, sc, width, qhs)
             return curs, sps, qns, rounds + 1
 
         curs, sps, qns, rounds = jax.lax.while_loop(
             walk_cond, walk_body, (curs, sps, qns, rounds))
-        tmax, ds, nv, nd = _lane_drain(qns, tmax, ds, lt_ref, q_ref,
-                                       drain_fn)
-        return (curs, sps, (jnp.int32(0),) * SUBLANES, rounds,
+        tmax, ds, nv, nd, qhs, qns = _lane_drain(
+            qns, tmax, ds, lt_ref, q_ref, drain_fn, qhs=qhs,
+            flush=~alive(curs, sps), width=width)
+        return (curs, sps, qns, qhs, rounds,
                 visits + nv, drounds + nd, tmax, ds)
 
-    out = jax.lax.while_loop(outer_cond, outer_body,
-                             (curs0, sps0, qns0, zero, zero, zero, tmax, ds))
-    return out[3], out[4], out[5], out[6], out[7]
+    out = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (curs0, sps0, qns0, qhs0, zero, zero, zero, tmax, ds))
+    return out[4], out[5], out[6], out[7], out[8]
 
 
 def _make_lane_closest_kernel(meta_vmem: bool = False, width: int = WIDTH):

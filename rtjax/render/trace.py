@@ -21,6 +21,8 @@ import numpy as np
 
 from ..core import v3
 from ..kernels.pallas_lane import LSTACK, lane_traverse_closest
+from ..kernels.pallas_lane_inst import (lane_traverse_anyhit_inst,
+                                        lane_traverse_closest_inst)
 from ..kernels.pallas_wide import (SMEM_META_CAP, wide_traverse_anyhit,
                                    wide_traverse_anyhit_inst,
                                    wide_traverse_closest,
@@ -77,6 +79,28 @@ def _lane_eligible(tables, bvh, leaf_hbm):
     stack slices (wide-tree depth <= binary build depth <= LSTACK)."""
     return (tables is not None and not tables.packed_nodes and not leaf_hbm
             and bvh.max_depth <= LSTACK)
+
+
+def _lane_inst_eligible(scene):
+    """Same gate for the two-level single-launch path: every participating
+    build (base + each BLAS) must fit the lane stack."""
+    tabs = scene.inst_tables
+    if tabs is None or tabs.wide.packed_nodes:
+        return False
+    depth = scene.bvh.max_depth
+    for blas in scene.blas:
+        depth = max(depth, blas.bvh.max_depth)
+    return depth <= LSTACK
+
+
+def _resolve_walker(cfg):
+    return getattr(cfg, "walker", "packet")
+
+
+def _st2(st):
+    """Normalize a kernel stats tuple to the engine's (steps, leafs) pair
+    (lane kernels append a third drain-round counter)."""
+    return (st[0], st[1])
 
 
 def _backend(mode, interp, tables, bvh, tris, stack_size, with_stats=False,
@@ -195,7 +219,11 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
                    f"(O({inst.num}) launches/bounce): combined tables "
                    "exceeded the single-launch kernel's VMEM/SMEM caps")
     if inst is not None and mode == "pallas" and scene.inst_tables is not None:
-        out = wide_traverse_closest_inst(
+        walker = _resolve_walker(cfg)
+        lane = walker != "packet" and _lane_inst_eligible(scene)
+        kern = lane_traverse_closest_inst if lane \
+            else wide_traverse_closest_inst
+        out = kern(
             scene.inst_tables, o, d, tmax, active, interpret=interp,
             with_stats=with_stats,
             meta_vmem=_inst_meta_vmem(scene.inst_tables))
@@ -207,7 +235,7 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
         for k in range(inst.num):
             n_w = v3.where(src == k + 1, _matvec_v3(inst.nrm[k], n_l), n_w)
         return _ret(hit, t, prim, src, n_w,
-                    out[5] if with_stats else None)
+                    _st2(out[5]) if with_stats else None)
 
     closest, _ = _backend(mode, interp, scene.tables, scene.bvh, scene.tris,
                           cfg.stack_size, with_stats,
@@ -267,10 +295,16 @@ def trace_anyhit(scene, cfg, mode, interp, o, d, tmax, exclude, active,
         d = v3.from_array(d)
     inst = getattr(scene, "instances", None)
     if inst is not None and mode == "pallas" and scene.inst_tables is not None:
-        return wide_traverse_anyhit_inst(
+        walker = _resolve_walker(cfg)
+        lane = walker != "packet" and _lane_inst_eligible(scene)
+        kern = lane_traverse_anyhit_inst if lane else wide_traverse_anyhit_inst
+        out = kern(
             scene.inst_tables, o, d, tmax, exclude, active, interpret=interp,
             with_stats=with_stats,
             meta_vmem=_inst_meta_vmem(scene.inst_tables))
+        if with_stats:
+            return out[0], _st2(out[1])
+        return out
 
     _, anyhit = _backend(mode, interp, scene.tables, scene.bvh, scene.tris,
                          cfg.stack_size, with_stats,

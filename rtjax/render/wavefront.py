@@ -237,7 +237,16 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     # slots past cam_end become contiguous all-inactive tiles).  All three
     # traversals share this order — the shadow rays originate at the same hit
     # points.  Replaces render.cuh:348-364's CUB queue compaction.
+    #
+    # Bundle diet (round 4): the sort's cost is linear in payload columns,
+    # so the default bundle carries the HIT POINT (what shading actually
+    # consumes) instead of (ray_o, t), and packs (bounces, src, mat) into
+    # one int32 — 18 columns instead of 21, bit-identical images (same
+    # values, computed before instead of after the permutation).  Parity
+    # mode keeps the full bundle (limbo lanes must restore t/prim/src).
     state_sorted = cfg.sort_rays and mode == "pallas"
+    hp_t = jnp.where(mat_mask, state.t, 0.0)
+    hp = v3.add(state.ray_o, v3.scale(hp_t, state.ray_d))
     if state_sorted:
         if cfg.sort_key == "prim":
             keys = ray_sort_keys_prim_v3(
@@ -247,8 +256,6 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
                 jnp.where(mat_mask, state.prim, -1), state.ray_d, mat_mask)
         else:
             root_lo, root_hi = scene.bvh.bmin[0], scene.bvh.bmax[0]
-            hp_t = jnp.where(mat_mask, state.t, 0.0)
-            hp = v3.add(state.ray_o, v3.scale(hp_t, state.ray_d))
             from .sorting import (ray_sort_keys_pos10_v3,
                                   ray_sort_keys_normal_pos_v3,
                                   ray_sort_keys_adaptive_v3)
@@ -263,31 +270,48 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
                       "morton_pos10": ray_sort_keys_pos10_v3}.get(
                     cfg.sort_key, ray_sort_keys_v3)
                 keys = kf(hp, state.ray_d, root_lo, root_hi, mat_mask)
-        bundle = (state.pixel, state.ray_o, state.ray_d, state.t,
-                  state.normal, state.prim, state.src, bounces, beta, acc,
-                  mat_mask) + ((limbo,) if cfg.reference_parity else ())
-        (pixel, ray_o_p, ray_d_p, t_p, normal, prim, src, bounces, beta, acc,
-         mat_mask, *rest) = sort_pytree_by_key(keys, bundle)
         if cfg.reference_parity:
-            limbo = rest[0]
+            bundle = (state.pixel, state.ray_o, state.ray_d, state.t,
+                      state.normal, state.prim, state.src, bounces, beta,
+                      acc, mat_mask, limbo)
+            (pixel, ray_o_p, ray_d_p, t_p, normal, prim, src, bounces, beta,
+             acc, mat_mask, limbo) = sort_pytree_by_key(keys, bundle)
+            p = v3.add(ray_o_p,
+                       v3.scale(jnp.where(mat_mask, t_p, 0.0), ray_d_p))
+        else:
+            # bounces ∈ [0, max_bounces+1] ∪ {DEAD, DEAD+1}: 15 bits with a
+            # saturating dead sentinel (every dead lane is re-marked DEAD by
+            # gen below, so the +1 distinction never survives an iteration)
+            b_enc = jnp.minimum(bounces, 0x7FFF)
+            meta = b_enc | (state.src << 15) | \
+                (mat_mask.astype(jnp.int32) << 27)
+            bundle = (state.pixel, hp, state.ray_d, state.normal,
+                      state.prim, beta, acc, meta)
+            (pixel, p, ray_d_p, normal, prim, beta, acc, meta) = \
+                sort_pytree_by_key(keys, bundle)
+            mat_mask = (meta >> 27) & 1 != 0
+            src = (meta >> 15) & 0xFFF
+            b_dec = meta & 0x7FFF
+            bounces = jnp.where(b_dec >= 0x7FFF, DEAD_BOUNCES, b_dec)
+            ray_o_p, t_p = p, None  # dead-lane ray keep-alives are inert
     else:
         pixel, ray_o_p, ray_d_p, t_p, normal, prim, src = (
             state.pixel, state.ray_o, state.ray_d, state.t, state.normal,
             state.prim, state.src)
+        p = hp
     gen_mask = ~mat_mask & ~limbo if cfg.reference_parity else ~mat_mask
 
     # ---- mat: shading (render.cuh:139-248) --------------------------------
-    def _shade(src, prim, beta, ray_o_p, ray_d_p, t_p, normal, mat_mask,
+    def _shade(src, prim, beta, p, ray_d_p, normal, mat_mask,
                u_bsdf1, u_pick, u_luv, u_bsdf2):
         """The whole mat stage over any slice of sorted state; returns a
         dict pytree so the chunked dispatcher below can window it to the
-        live prefix."""
+        live prefix.  ``p`` is the hit point, computed from the ray
+        equation o + t*d before the sort (the reference reconstructs it
+        barycentrically, triangle.cuh:15; Wächter–Binder offsetting in
+        spawn_offset_ray absorbs the equivalent rounding either way)."""
         mtype, albedo, ior = gather_hit_materials_v3(scene, src, prim)
         multiplier = v3.scale(jnp.float32(num_lights), beta)
-        # hit point from the ray equation (the reference reconstructs it
-        # barycentrically, triangle.cuh:15; Wächter–Binder offsetting in
-        # spawn_offset_ray absorbs the equivalent rounding either way)
-        p = v3.add(ray_o_p, v3.scale(jnp.where(mat_mask, t_p, 0.0), ray_d_p))
         n_g = v3.neg(v3.normalize(normal))  # geometric normal (render.cuh:153)
         wo = ray_d_p
 
@@ -385,7 +409,7 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
 
     b1u1, b1u2 = draw(_W_BSDF1), draw(_W_BSDF1 + 1)
     b2u1, b2u2 = draw(_W_BSDF2), draw(_W_BSDF2 + 1)
-    shade_in = (src, prim, beta, ray_o_p, ray_d_p, t_p, normal, mat_mask,
+    shade_in = (src, prim, beta, p, ray_d_p, normal, mat_mask,
                 (b1u1, b1u2, b1u1),
                 draw(_W_LIGHT_PICK),
                 draw_pair(_W_LIGHT_UV),
