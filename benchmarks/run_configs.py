@@ -132,9 +132,15 @@ def main():
                     choices=["morton", "morton_pos", "prim", "prim_pos"],
                     # None -> RenderConfig default (morton_pos)
                     help="bounce-ray sort key (coherence experiment)")
+    ap.add_argument("--walker", default=None,
+                    choices=["auto", "packet", "lane"],
+                    # None -> RenderConfig default (auto)
+                    help="closest-hit traversal engine (A/B experiment)")
     args = ap.parse_args()
     which = set(int(x) for x in args.configs.split(","))
     sk = {} if args.sort_key is None else {"sort_key": args.sort_key}
+    if args.walker is not None:
+        sk["walker"] = args.walker
 
     import jax
     jax.config.update("jax_compilation_cache_dir",

@@ -219,8 +219,14 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
                    f"(O({inst.num}) launches/bounce): combined tables "
                    "exceeded the single-launch kernel's VMEM/SMEM caps")
     if inst is not None and mode == "pallas" and scene.inst_tables is not None:
+        # two-level walker choice: `auto` stays on the PACKET kernel —
+        # measured on config 4 (16 overlapping bunnies, 1.1M tris): packet
+        # 3.35 vs lane 3.02 Mrays/s.  Per-sublane TLAS scheduling re-walks
+        # overlapping instances once per sublane, and the mostly-coherent
+        # instanced workload never recoups that duplication.  walker="lane"
+        # selects it explicitly (hits stay bitwise-equal either way).
         walker = _resolve_walker(cfg)
-        lane = walker != "packet" and _lane_inst_eligible(scene)
+        lane = walker == "lane" and _lane_inst_eligible(scene)
         kern = lane_traverse_closest_inst if lane \
             else wide_traverse_closest_inst
         out = kern(
@@ -295,8 +301,9 @@ def trace_anyhit(scene, cfg, mode, interp, o, d, tmax, exclude, active,
         d = v3.from_array(d)
     inst = getattr(scene, "instances", None)
     if inst is not None and mode == "pallas" and scene.inst_tables is not None:
+        # auto -> packet for two-level any-hit as well (see trace_closest)
         walker = _resolve_walker(cfg)
-        lane = walker != "packet" and _lane_inst_eligible(scene)
+        lane = walker == "lane" and _lane_inst_eligible(scene)
         kern = lane_traverse_anyhit_inst if lane else wide_traverse_anyhit_inst
         out = kern(
             scene.inst_tables, o, d, tmax, exclude, active, interpret=interp,
