@@ -37,7 +37,9 @@ def main():
     key = jax.random.key(1)
 
     def timed(name, **kw):
-        """min-of-3 per-iteration ms via the (1+R) - (1) difference."""
+        """median-of-5 per-iteration ms via the (1+R) - (1) difference.
+        (min-of-diffs is NOT stall-robust: one tunnel hiccup inside the
+        1-iteration window makes a diff negative and the min keeps it.)"""
         base = dict(width=512, height=512, num_samples=64, max_bounces=10,
                     num_working_paths=1 << LOG2)
         base.update(kw)
@@ -47,8 +49,8 @@ def main():
         for c in (c1, cR):
             fb, _ = render_frame(scene, cam, c, key)
             fb.block_until_ready()
-        best = 1e9
-        for _ in range(3):
+        diffs = []
+        for _ in range(5):
             t0 = time.time()
             fb, _ = render_frame(scene, cam, c1, key)
             _ = float(np.asarray(fb).mean())
@@ -56,9 +58,10 @@ def main():
             fb, _ = render_frame(scene, cam, cR, key)
             _ = float(np.asarray(fb).mean())
             t2 = time.time()
-            best = min(best, ((t2 - t1) - (t1 - t0)) / R)
-        print(f"{name:40s} {best*1e3:7.3f} ms/iter", flush=True)
-        return best
+            diffs.append(((t2 - t1) - (t1 - t0)) / R)
+        med = sorted(diffs)[len(diffs) // 2]
+        print(f"{name:40s} {med*1e3:7.3f} ms/iter", flush=True)
+        return med
 
     print(f"config2 scene, pool 2^{LOG2}, R={R}")
     full = timed("default")

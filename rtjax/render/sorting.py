@@ -164,6 +164,41 @@ def sort_pytree_by_key(keys, tree):
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+def oct_encode_v3(n):
+    """Component-triple direction -> ONE int32 (16+16-bit octahedral).
+
+    The sort bundle's normal costs 3 of its payload columns and the only
+    post-sort consumer normalizes it anyway (wavefront's n_g), so the
+    direction survives the permutation as a 16-bit octahedral pair: max
+    angular error ~2^-15 rad, invisible next to the estimator's own shot
+    noise.  Zero vectors (dead lanes) encode to the +Z pole — every
+    consumer is mat-masked.  Parity mode keeps the exact f32 triple."""
+    l1 = jnp.abs(n[0]) + jnp.abs(n[1]) + jnp.abs(n[2])
+    inv = 1.0 / jnp.maximum(l1, jnp.float32(1e-37))
+    px, py = n[0] * inv, n[1] * inv
+    sx = jnp.where(px >= 0, jnp.float32(1), jnp.float32(-1))
+    sy = jnp.where(py >= 0, jnp.float32(1), jnp.float32(-1))
+    fold = n[2] < 0
+    px, py = (jnp.where(fold, (1.0 - jnp.abs(py)) * sx, px),
+              jnp.where(fold, (1.0 - jnp.abs(px)) * sy, py))
+    qx = jnp.clip((px + 1.0) * 32767.5, 0, 65535).astype(jnp.int32)
+    qy = jnp.clip((py + 1.0) * 32767.5, 0, 65535).astype(jnp.int32)
+    return (qx << 16) | qy
+
+
+def oct_decode_v3(w):
+    """Inverse of :func:`oct_encode_v3`; returns an UNNORMALIZED triple
+    (consumers normalize, matching the raw cross-product contract)."""
+    s = jnp.float32(2.0 / 65535.0)
+    px = ((w >> 16) & 0xFFFF).astype(jnp.float32) * s - 1.0
+    py = (w & 0xFFFF).astype(jnp.float32) * s - 1.0
+    z = 1.0 - jnp.abs(px) - jnp.abs(py)
+    t = jnp.clip(-z, 0.0, 1.0)
+    px = px + jnp.where(px >= 0, -t, t)
+    py = py + jnp.where(py >= 0, -t, t)
+    return (px, py, z)
+
+
 def _part1by2_10(x):
     """Spread 10 bits to every 3rd bit (same magic; kept separate for the
     10-bit key so the 9-bit paths stay untouched)."""

@@ -69,9 +69,9 @@ from ..scene.camera import Camera
 from ..scene.light import gather_light_v3, is_delta, pdf_li_v3, sample_li_v3
 from ..scene.material import get_f_v3, is_specular, sample_f_v3
 from ..scene.scene import Scene
-from .sorting import (ray_sort_keys_pos_v3, ray_sort_keys_prim_pos_v3,
-                      ray_sort_keys_prim_v3, ray_sort_keys_v3,
-                      sort_pytree_by_key)
+from .sorting import (oct_decode_v3, oct_encode_v3, ray_sort_keys_pos_v3,
+                      ray_sort_keys_prim_pos_v3, ray_sort_keys_prim_v3,
+                      ray_sort_keys_v3, sort_pytree_by_key)
 
 # RNG word ids — ONE threefry sweep of NUM_RNG_WORDS x [N] uint32 per
 # iteration (rng.bits_block).  Two diets vs the naive 12-site layout:
@@ -154,6 +154,19 @@ def _blocked_pixel_order(width: int, height: int, block: int = 16):
     key = (((y // block) * nbx + (x // block)) * (block * block)
            + (y % block) * block + (x % block))
     return np.argsort(key.ravel(), kind="stable").astype(np.int32)
+
+
+def _compact_bundle_ok(scene, cfg) -> bool:
+    """Static gate for the 15-column sort bundle's packed ranges:
+    pixel 21 bits, prim+1 23 bits (base scene AND every BLAS), src 8 bits,
+    bounces 7 bits with 127 as the dead sentinel."""
+    max_prim = scene.tris.num
+    for blas in getattr(scene, "blas", ()) or ():
+        max_prim = max(max_prim, blas.tris.num)
+    inst = getattr(scene, "instances", None)
+    num_src = 1 + (inst.num if inst is not None else 0)
+    return (cfg.num_pixels <= 1 << 21 and max_prim < (1 << 23) - 1
+            and num_src <= 1 << 8 and cfg.max_bounces + 1 < 127)
 
 
 def _accum(acc, value, mask):
@@ -278,6 +291,35 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
              acc, mat_mask, limbo) = sort_pytree_by_key(keys, bundle)
             p = v3.add(ray_o_p,
                        v3.scale(jnp.where(mat_mask, t_p, 0.0), ray_d_p))
+        elif _compact_bundle_ok(scene, cfg):
+            # 15-payload-column bundle (round-4 sort diet; the sort's cost
+            # is linear in columns moved).  Three packings vs the 18-column
+            # form, all bit-lossless except the normal:
+            #   pbm  = pixel(21) | bounces(7, saturating dead sentinel 127)
+            #          | mat(1)   — every dead lane is re-marked DEAD by gen
+            #          below, so the DEAD/DEAD+1 distinction never survives
+            #          an iteration
+            #   sp   = prim+1(23) | src(8) — prim -1 (no hit) packs as 0
+            #   onrm = 16+16-bit octahedral normal (sorting.oct_encode_v3;
+            #          the one lossy field, ~2^-15 rad)
+            # _compact_bundle_ok gates the static ranges; oversized scenes
+            # fall through to the wide bundle below.
+            b7 = jnp.minimum(bounces, 127)
+            pbm = state.pixel | (b7 << 21) | \
+                (mat_mask.astype(jnp.int32) << 28)
+            sp = (state.prim + 1) | (state.src << 23)
+            onrm = oct_encode_v3(state.normal)
+            bundle = (hp, state.ray_d, beta, acc, pbm, sp, onrm)
+            (p, ray_d_p, beta, acc, pbm, sp, onrm) = \
+                sort_pytree_by_key(keys, bundle)
+            pixel = pbm & 0x1FFFFF
+            b_dec = (pbm >> 21) & 0x7F
+            bounces = jnp.where(b_dec >= 127, DEAD_BOUNCES, b_dec)
+            mat_mask = (pbm >> 28) & 1 != 0
+            prim = (sp & 0x7FFFFF) - 1
+            src = (sp >> 23) & 0xFF
+            normal = oct_decode_v3(onrm)
+            ray_o_p, t_p = p, None  # dead-lane ray keep-alives are inert
         else:
             # bounces ∈ [0, max_bounces+1] ∪ {DEAD, DEAD+1}: 15 bits with a
             # saturating dead sentinel (every dead lane is re-marked DEAD by
