@@ -36,7 +36,8 @@ def main():
         for name, bounces in (("camera", 0), ("full", 10)):
             cfg = RenderConfig(width=256, height=256, num_samples=16,
                                max_bounces=bounces, detailed_stats=True,
-                               sort_key=sk)
+                               sort_key=sk,
+                               walker=os.environ.get("BENCH_WALKER", "auto"))
             fb, st = render_frame(scene, cam, cfg, jkey)
             jax.block_until_ready(fb)
             t0 = time.time()

@@ -21,6 +21,7 @@ import numpy as np
 
 from ..core import v3
 from ..kernels.pallas_lane import LSTACK, lane_traverse_closest
+from ..kernels.pallas_lane_persist import persist_traverse_closest
 from ..kernels.pallas_lane_inst import (lane_traverse_anyhit_inst,
                                         lane_traverse_closest_inst)
 from ..kernels.pallas_wide import (SMEM_META_CAP, wide_traverse_anyhit,
@@ -109,15 +110,23 @@ def _backend(mode, interp, tables, bvh, tris, stack_size, with_stats=False,
         assert tables is not None, (
             "traversal='pallas' needs scenes built with max_leaf_size <= 8")
         if walker == "auto":
-            walker = "lane" if _lane_eligible(tables, bvh, leaf_hbm) \
+            # persistent per-sublane walkers (no tile barrier) beat the
+            # tile-mode lane walker on every measured single-level scene:
+            # 18.7 vs 16.7 Mrays/s on the headline bench (PERF_NOTES r4)
+            walker = "persist" if _lane_eligible(tables, bvh, leaf_hbm) \
                 else "packet"
-        if walker == "lane" and not _lane_eligible(tables, bvh, leaf_hbm):
+        if walker in ("lane", "persist") and \
+                not _lane_eligible(tables, bvh, leaf_hbm):
             _warn_once(("lane", id(tables)),
-                       "walker='lane' requested but the scene is ineligible "
-                       "(packed node rows / HBM leaf table / deep build); "
-                       "falling back to the packet walker")
+                       f"walker='{walker}' requested but the scene is "
+                       "ineligible (packed node rows / HBM leaf table / "
+                       "deep build); falling back to the packet walker")
             walker = "packet"
-        if walker == "lane":
+        if walker == "persist":
+            closest = partial(persist_traverse_closest, tables,
+                              interpret=interp, with_stats=with_stats,
+                              meta_vmem=meta_vmem)
+        elif walker == "lane":
             closest = partial(lane_traverse_closest, tables, interpret=interp,
                               with_stats=with_stats, meta_vmem=meta_vmem)
         else:
