@@ -207,10 +207,24 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     draw_pair = lambda w: rng.u01_pair(_words[w])
 
     # ---- init: emission, Russian roulette, routing (render.cuh:84-137) ----
-    prim_safe = jnp.clip(state.prim, 0, scene.tris.num - 1)
-    # instanced prims are never emissive (lights live in the base scene)
-    light_idx = jnp.where(state.src == 0, scene.prim_light[prim_safe],
-                          INVALID_INDEX)
+    # "did this bounce-0 path hit an emitter, and which one": the reference
+    # reads the hit primitive's light back-pointer (render.cuh:100,
+    # primitive.cuh:4-12).  A [P]-table gather at pool width costs ~1 ms on
+    # v5e (docs/PERF_NOTES.md round-3 rule), so for small light counts the
+    # light id comes from comparing the hit prim against the <= 16 emitter
+    # triangle ids embedded in the light table instead — 16 compares are
+    # ~10 us.  Instanced prims are never emissive (lights live in the base
+    # scene); prim ids are BLAS-local for instanced hits, hence src == 0.
+    if 0 < num_lights <= 16:
+        light_idx = jnp.full_like(state.prim, INVALID_INDEX)
+        for l in range(num_lights):
+            ltri_l = scene.lights.tri[l]
+            light_idx = jnp.where((state.prim == ltri_l) & (ltri_l >= 0)
+                                  & (state.src == 0), l, light_idx)
+    else:
+        prim_safe = jnp.clip(state.prim, 0, scene.tris.num - 1)
+        light_idx = jnp.where(state.src == 0, scene.prim_light[prim_safe],
+                              INVALID_INDEX)
     emit0 = state.hit & (light_idx >= 0) & (state.bounces == 0)
     emit_li = jnp.maximum(light_idx, 0)
     emit_val = tuple(take_rows(scene.lights.emit[:, k], emit_li)
