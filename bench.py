@@ -52,6 +52,8 @@ def main() -> None:
         kw["camera_order"] = os.environ["BENCH_CAMERA_ORDER"]
     if os.environ.get("BENCH_WALKER"):
         kw["walker"] = os.environ["BENCH_WALKER"]
+    if os.environ.get("BENCH_SHADE_CHUNKS"):
+        kw["shade_chunks"] = int(os.environ["BENCH_SHADE_CHUNKS"])
     if os.environ.get("BENCH_ONE_SAMPLE_MIS"):
         # one-sample MIS traces FEWER rays for the same image: wall time
         # drops but Mrays/s also counts fewer traversals — compare the

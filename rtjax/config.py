@@ -72,8 +72,20 @@ class RenderConfig:
     # fori_loop over pool/shade_chunks-wide chunks with a TRACED trip count
     # ceil(num_mat/chunk) — end-of-frame and bounce-tail iterations skip the
     # dead suffix entirely (in-window lanes compute bitwise-identically).
-    # 1 disables; requires sort_rays and the pallas path.
-    shade_chunks: int = 8
+    # 1 disables; requires sort_rays and the pallas path.  "auto" picks 1
+    # when the frame refills the pool >= 16 times (occupancy stays high for
+    # most iterations, and the chunk loop's slice/update overhead costs more
+    # than the skipped suffix saves: config2 at 64 refills measured 87.8 at
+    # 1 vs 85.1 at 8; the 64spp headline at 16 refills 21.93 vs 21.62) and
+    # 8 otherwise (few-refill frames spend most iterations in the bounce
+    # tail: config1 at 8 refills measured 16.17 at 8 vs 16.03 at 1).
+    shade_chunks: int | str = "auto"
+
+    @property
+    def shade_chunks_effective(self) -> int:
+        if self.shade_chunks == "auto":
+            return 1 if self.total_camera_rays >= 16 * self.pool_size else 8
+        return self.shade_chunks
     # one-sample MIS: reuse the path-continuation BSDF sample for the
     # BSDF-side MIS light channel (the standard single-sample estimator,
     # e.g. PBRT); the channel's "closest hit == picked light triangle"

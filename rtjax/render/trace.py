@@ -352,8 +352,19 @@ def trace_anyhit(scene, cfg, mode, interp, o, d, tmax, exclude, active,
 
 
 def _hit_material_index(scene, src, prim):
-    prim_safe = jnp.clip(prim, 0, scene.tris.num - 1)
-    mat_idx = scene.prim_material[prim_safe]
+    runs = getattr(scene, "mat_runs", None)
+    if runs is not None:
+        # prim->material as a run-compare chain (scene.mat_runs): the map is
+        # piecewise-constant over leaf-order prim ids in any real scene, so
+        # <= 32 vector compares replace the ~2.4 ms pool-width [P] gather.
+        # prim < 0 (miss lanes) lands in run 0, matching the gather path's
+        # clamp; instanced lanes are overridden below either way.
+        mat_idx = jnp.full(prim.shape, runs[0][1], jnp.int32)
+        for s, m in runs[1:]:
+            mat_idx = jnp.where(prim >= s, m, mat_idx)
+    else:
+        prim_safe = jnp.clip(prim, 0, scene.tris.num - 1)
+        mat_idx = scene.prim_material[prim_safe]
     inst = getattr(scene, "instances", None)
     if inst is not None:
         for k in range(inst.num):

@@ -470,7 +470,7 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
                 draw(_W_LIGHT_PICK),
                 draw_pair(_W_LIGHT_UV),
                 (b2u1, b2u2, b2u1))
-    C = cfg.shade_chunks
+    C = cfg.shade_chunks_effective
     if state_sorted and C > 1 and n % C == 0:
         # prefix-windowed shading: continuing lanes are a contiguous prefix
         # after the sort, so shade only the ceil(num_mat/chunk) chunks that
@@ -553,11 +553,13 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     # three atomic-add channels, render.cuh:102,292,322).  XLA's TPU
     # scatter costs ~20 ns per update SLOT regardless of value, and after
     # the sort every flushing (dead) lane sits in a contiguous SUFFIX of
-    # the pool — so scatter only the quarter-chunks that overlap the dead
-    # suffix (full width when unsorted)
+    # the pool — so scatter only the 1/8-chunks that overlap the dead
+    # suffix (full width when unsorted).  8 chunks: at high occupancy only
+    # the last ~n/8 slots scatter (~0.5 ms at 2^18 vs ~1 ms for quarters);
+    # the 8 lax.conds are noise next to that.
     flush = tuple(jnp.where(gen_mask, c, 0.0) for c in acc)
-    if state_sorted and n % 4 == 0:
-        csz = n // 4
+    if state_sorted and n % 8 == 0:
+        csz = n // 8
         num_mat_i = jnp.sum(mat_mask).astype(jnp.int32)
 
         def flush_chunk(c, fb):
@@ -571,7 +573,7 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
             return jax.lax.cond((c + 1) * csz > num_mat_i, do,
                                 lambda fb: fb, fb)
 
-        fb = jax.lax.fori_loop(0, 4, flush_chunk, fb)
+        fb = jax.lax.fori_loop(0, 8, flush_chunk, fb)
     else:
         fb = fb.at[pixel].add(jnp.stack(flush, axis=-1), mode="drop")
     acc = tuple(jnp.where(gen_mask, 0.0, c) for c in acc)

@@ -29,7 +29,7 @@ from .transform import Transform
          data_fields=["tris", "bvh", "materials", "lights",
                       "prim_material", "prim_light", "tables",
                       "env_radiance", "instances", "blas", "inst_tables"],
-         meta_fields=["num_lights", "leaf_hbm", "meta_vmem"])
+         meta_fields=["num_lights", "leaf_hbm", "meta_vmem", "mat_runs"])
 @dataclasses.dataclass(frozen=True)
 class Scene:
     """Device-resident scene: a pytree of dense arrays (scene.cuh:4-8).
@@ -66,12 +66,37 @@ class Scene:
     meta_vmem: bool = False   # static: node meta too big for SMEM — the
                               # kernel reads it from the bounds-row mirror
                               # lanes instead (pallas_wide._vmem_meta)
+    mat_runs: tuple | None = None  # static: the prim->material map as runs
+                              # ((start, mat), ...) over LEAF-ORDER prim ids,
+                              # when it has few runs (real scenes assign
+                              # materials per mesh, so the permuted map stays
+                              # piecewise-constant).  Lets the engine replace
+                              # the pool-width [P] material gather (~2.4 ms
+                              # at 2^18 on v5e) with <= MAT_RUN_LIMIT vector
+                              # compares (~20 us each) — same diet as the
+                              # emitter-id compares in render/wavefront.py.
 
 
 # packet-kernel residency budgets (bytes); module-level so tests can
 # shrink them to exercise the big-scene tiers on small scenes
 NODE_VMEM_BUDGET = 60 << 20   # node rows resident in VMEM
 TABLE_VMEM_BUDGET = 100 << 20  # nodes + leaves resident in VMEM
+
+# prim->material run-compare chain: above this many runs the where-chain
+# (~20 us/run at 2^18 lanes) stops beating the ~2.4 ms pool-width gather
+# by a comfortable margin and the engine falls back to prim_material[prim]
+MAT_RUN_LIMIT = 32
+
+
+def _material_runs(pm: np.ndarray) -> tuple | None:
+    """Compress a leaf-order prim->material index map into ``((start, mat),
+    ...)`` runs, or None when it has more than MAT_RUN_LIMIT runs."""
+    if len(pm) == 0:
+        return None
+    starts = np.flatnonzero(np.diff(pm)) + 1
+    if len(starts) + 1 > MAT_RUN_LIMIT:
+        return None
+    return tuple((int(s), int(pm[s])) for s in (0, *starts.tolist()))
 
 
 class SceneBuilder:
@@ -346,6 +371,7 @@ class SceneBuilder:
             lights=make_light_table(self._ltype, self._lpos, self._lemit,
                                     ltri, tris_host),
             prim_material=jnp.asarray(mat_idx[perm]),
+            mat_runs=_material_runs(mat_idx[perm]),
             prim_light=jnp.asarray(prim_light[perm]),
             env_radiance=jnp.asarray(self._env, jnp.float32),
             instances=instances,

@@ -240,3 +240,37 @@ def test_64_instances_single_launch_path():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(hx[2])[m], np.asarray(hp[2])[m])
     np.testing.assert_array_equal(np.asarray(hx[3])[m], np.asarray(hp[3])[m])
+
+
+def test_mat_runs_chain_matches_gather():
+    """The prim->material run-compare chain (scene.mat_runs) must agree with
+    the [P] prim_material gather bit-for-bit, including miss lanes (-1)."""
+    import dataclasses
+
+    from rtjax.render.trace import _hit_material_index
+    from rtjax.scene.scene import MAT_RUN_LIMIT, _material_runs
+
+    rng = np.random.default_rng(3)
+    sb = SceneBuilder()
+    mats = [sb.make_matte((0.1 * k, 0.2, 0.3)) for k in range(5)]
+    # three chunks with distinct materials -> few runs even after the BVH
+    # leaf permutation shuffles spatially-interleaved triangles
+    for k, m in enumerate(mats):
+        base = rng.uniform(-1 + 0.4 * k, -0.6 + 0.4 * k, (40, 3))
+        sb.add_triangles(base, base + [0.05, 0, 0], base + [0, 0.05, 0],
+                         material=m)
+    scene = sb.build()
+    assert scene.mat_runs is not None
+    prim = jnp.asarray(
+        np.concatenate([[-1], rng.integers(0, scene.tris.num, 500)]),
+        jnp.int32)
+    src = jnp.zeros_like(prim)
+    got = _hit_material_index(scene, src, prim)
+    ref = _hit_material_index(dataclasses.replace(scene, mat_runs=None),
+                              src, prim)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # a map with more runs than the limit must fall back to the gather
+    assert _material_runs(np.arange(MAT_RUN_LIMIT + 1, dtype=np.int32)) \
+        is None
+    assert _material_runs(np.zeros(0, np.int32)) is None
