@@ -54,6 +54,8 @@ def main() -> None:
         kw["walker"] = os.environ["BENCH_WALKER"]
     if os.environ.get("BENCH_SHADE_CHUNKS"):
         kw["shade_chunks"] = int(os.environ["BENCH_SHADE_CHUNKS"])
+    if os.environ.get("BENCH_SORT_EVERY"):
+        kw["sort_every"] = int(os.environ["BENCH_SORT_EVERY"])
     if os.environ.get("BENCH_ONE_SAMPLE_MIS"):
         # one-sample MIS traces FEWER rays for the same image: wall time
         # drops but Mrays/s also counts fewer traversals — compare the

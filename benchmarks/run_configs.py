@@ -136,11 +136,15 @@ def main():
                     choices=["auto", "packet", "lane"],
                     # None -> RenderConfig default (auto)
                     help="closest-hit traversal engine (A/B experiment)")
+    ap.add_argument("--sort-every", type=int, default=None,
+                    help="sort/gen/flush every k-th iteration (A/B)")
     args = ap.parse_args()
     which = set(int(x) for x in args.configs.split(","))
     sk = {} if args.sort_key is None else {"sort_key": args.sort_key}
     if args.walker is not None:
         sk["walker"] = args.walker
+    if args.sort_every is not None:
+        sk["sort_every"] = args.sort_every
 
     import jax
     jax.config.update("jax_compilation_cache_dir",

@@ -268,3 +268,39 @@ def ray_sort_keys_adaptive_v3(origin, normal, bounces, lo, hi, active,
     deep = bounces >= deep_from
     key = jnp.where(deep, (1 << 30) | (oc << 27) | m, (m << 3) | oc)
     return jnp.where(active, key, jnp.int32(0x7FFFFFFF))
+
+
+def rgb9e5_encode_v3(v):
+    """Non-negative component triple -> ONE int32 (shared-exponent RGB9E5).
+
+    The sort bundle's beta and acc triples only feed statistical math
+    (throughput products, radiance sums), so they survive the permutation
+    as 9-bit mantissas under a shared 5-bit exponent — max relative error
+    2^-9 on the dominant channel per re-encode, far below shot noise.
+    Negative/NaN inputs clamp to 0, values above the format max (~65408)
+    saturate.  Parity mode keeps the exact f32 triples."""
+    maxv = jnp.float32(511.0 / 512.0 * 65536.0)
+    san = lambda c: jnp.clip(jnp.where(jnp.isfinite(c), c, 0.0), 0.0, maxv)
+    r, g, b = san(v[0]), san(v[1]), san(v[2])
+    m = jnp.maximum(jnp.maximum(r, g), b)
+    # floor(log2(m)) off the f32 exponent field; m == 0 encodes to word 0
+    eb = (jax.lax.bitcast_convert_type(jnp.maximum(m, jnp.float32(2e-10)),
+                                       jnp.int32) >> 23) & 0xFF
+    es = jnp.clip(eb - 127, -16, 15) + 1          # shared exp, unbiased
+    # scale = 2^(es - 9), built exactly from the exponent bits
+    scale = jax.lax.bitcast_convert_type((es + 118) << 23, jnp.float32)
+    bump = jnp.maximum(jnp.maximum(jnp.round(r / scale), jnp.round(g / scale)),
+                       jnp.round(b / scale)) >= 512.0
+    es = jnp.where(bump, es + 1, es)
+    scale = jnp.where(bump, scale * 2.0, scale)
+    enc = lambda c: jnp.minimum(jnp.round(c / scale), 511.0).astype(jnp.int32)
+    return enc(r) | (enc(g) << 9) | (enc(b) << 18) | ((es + 15) << 27)
+
+
+def rgb9e5_decode_v3(w):
+    """Inverse of :func:`rgb9e5_encode_v3` (exact for encoded values)."""
+    es = (w >> 27) & 31
+    scale = jax.lax.bitcast_convert_type((es + 103) << 23, jnp.float32)
+    return ((w & 511).astype(jnp.float32) * scale,
+            ((w >> 9) & 511).astype(jnp.float32) * scale,
+            ((w >> 18) & 511).astype(jnp.float32) * scale)

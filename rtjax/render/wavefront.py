@@ -71,22 +71,25 @@ from ..scene.material import get_f_v3, is_specular, sample_f_v3
 from ..scene.scene import Scene
 from .sorting import (oct_decode_v3, oct_encode_v3, ray_sort_keys_pos_v3,
                       ray_sort_keys_prim_pos_v3, ray_sort_keys_prim_v3,
-                      ray_sort_keys_v3, sort_pytree_by_key)
+                      ray_sort_keys_v3, rgb9e5_decode_v3, rgb9e5_encode_v3,
+                      sort_pytree_by_key)
 
 # RNG word ids — ONE threefry sweep of NUM_RNG_WORDS x [N] uint32 per
-# iteration (rng.bits_block).  Two diets vs the naive 12-site layout:
+# iteration (rng.bits_block).  Three diets vs the naive 12-site layout:
 # 2-D jitter pairs (light barycentrics, subpixel offset) split one word
-# into two 16-bit uniforms (rng.u01_pair), and each BSDF block's glass
+# into two 16-bit uniforms (rng.u01_pair); each BSDF block's glass
 # reflect/refract draw aliases its matte u1 — a lane is exactly one
 # material, so matte lanes consume (u1, u2) and glass lanes consume only
-# u3, never both.  12 -> 8 words per iteration.
-_W_RR = 0
-_W_BSDF1 = 1        # words 1,2 -> (u1, u2); u3 aliases u1
-_W_LIGHT_PICK = 3
-_W_LIGHT_UV = 4     # 16/16 split pair
-_W_BSDF2 = 5        # words 5,6 -> (u1, u2); u3 aliases u1
-_W_GEN = 7          # 16/16 split pair
-NUM_RNG_WORDS = 8
+# u3, never both; and EVERY remaining site shares the 16/16 split too —
+# 16-bit resolution quantizes sampled directions by ~2^-16, far below
+# shot noise (statistical-parity contract, core/rng.py).  12 -> 8 -> 5
+# words per iteration; threefry cost is linear in words.
+_W_RR_PICK = 0      # 16/16 split -> (RR uniform, light pick)
+_W_BSDF1 = 1        # 16/16 split -> (u1, u2); u3 aliases u1
+_W_LIGHT_UV = 2     # 16/16 split pair
+_W_BSDF2 = 3        # 16/16 split -> (u1, u2); u3 aliases u1
+_W_GEN = 4          # 16/16 split pair
+NUM_RNG_WORDS = 5
 
 
 @jax.tree_util.register_dataclass
@@ -203,8 +206,8 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     # draw sites, which is statistically free (iid uniforms, each consumed
     # once) and keeps the whole iteration a fixed-shape pipeline.
     _words = rng.bits_block(key, it, NUM_RNG_WORDS, n)
-    draw = lambda w: rng.u01(_words[w])
     draw_pair = lambda w: rng.u01_pair(_words[w])
+    u_rr, u_pick = draw_pair(_W_RR_PICK)
 
     # ---- init: emission, Russian roulette, routing (render.cuh:84-137) ----
     # "did this bounce-0 path hit an emitter, and which one": the reference
@@ -244,7 +247,7 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     rr_cand = alive & state.hit & (state.bounces > cfg.rr_start) & \
         (beta_max < cfg.rr_threshold)
     p_term = jnp.maximum(0.05, 1.0 - beta_max)
-    rr_kill = rr_cand & (draw(_W_RR) < p_term)
+    rr_kill = rr_cand & (u_rr < p_term)
     rr_boost = jnp.where(rr_cand & ~rr_kill, 1.0 / (1.0 - p_term), 1.0)
     beta = v3.scale(rr_boost, beta)
 
@@ -274,30 +277,48 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     state_sorted = cfg.sort_rays and mode == "pallas"
     hp_t = jnp.where(mat_mask, state.t, 0.0)
     hp = v3.add(state.ray_o, v3.scale(hp_t, state.ray_d))
-    if state_sorted:
+
+    # sort_every > 1: the sort (and gen/flush, below) run only on every
+    # k-th iteration — in between, continuing paths keep their slots (one-
+    # iteration-stale locality is still a good packet grouping) and dead
+    # slots idle one iteration instead of refilling.  The occupancy guard
+    # forces a gen iteration whenever the live prefix drops below 3/4 pool
+    # so the frame tail never starves.  Requires the compact sorted bundle
+    # (the windowed-shade/flush prefix arithmetic is only valid right after
+    # a sort, so both are gated on do_gen).
+    k_sort = cfg.sort_every if (state_sorted and not cfg.reference_parity
+                                and _compact_bundle_ok(scene, cfg)) else 1
+    if k_sort > 1:
+        num_mat_pre = jnp.sum(mat_mask).astype(jnp.int32)
+        do_gen = ((it % k_sort) == 0) | (num_mat_pre * 4 < n * 3)
+    else:
+        do_gen = jnp.bool_(True)
+
+    def _keys():
         if cfg.sort_key == "prim":
-            keys = ray_sort_keys_prim_v3(
+            return ray_sort_keys_prim_v3(
                 jnp.where(mat_mask, state.prim, -1), state.ray_d, mat_mask)
-        elif cfg.sort_key == "prim_pos":
-            keys = ray_sort_keys_prim_pos_v3(
+        if cfg.sort_key == "prim_pos":
+            return ray_sort_keys_prim_pos_v3(
                 jnp.where(mat_mask, state.prim, -1), state.ray_d, mat_mask)
-        else:
-            root_lo, root_hi = scene.bvh.bmin[0], scene.bvh.bmax[0]
-            from .sorting import (ray_sort_keys_pos10_v3,
-                                  ray_sort_keys_normal_pos_v3,
-                                  ray_sort_keys_adaptive_v3)
-            if cfg.sort_key == "normal_pos":
-                keys = ray_sort_keys_normal_pos_v3(
-                    hp, state.normal, root_lo, root_hi, mat_mask)
-            elif cfg.sort_key == "adaptive":
-                keys = ray_sort_keys_adaptive_v3(
-                    hp, state.normal, bounces, root_lo, root_hi, mat_mask)
-            else:
-                kf = {"morton_pos": ray_sort_keys_pos_v3,
-                      "morton_pos10": ray_sort_keys_pos10_v3}.get(
-                    cfg.sort_key, ray_sort_keys_v3)
-                keys = kf(hp, state.ray_d, root_lo, root_hi, mat_mask)
+        root_lo, root_hi = scene.bvh.bmin[0], scene.bvh.bmax[0]
+        from .sorting import (ray_sort_keys_pos10_v3,
+                              ray_sort_keys_normal_pos_v3,
+                              ray_sort_keys_adaptive_v3)
+        if cfg.sort_key == "normal_pos":
+            return ray_sort_keys_normal_pos_v3(
+                hp, state.normal, root_lo, root_hi, mat_mask)
+        if cfg.sort_key == "adaptive":
+            return ray_sort_keys_adaptive_v3(
+                hp, state.normal, bounces, root_lo, root_hi, mat_mask)
+        kf = {"morton_pos": ray_sort_keys_pos_v3,
+              "morton_pos10": ray_sort_keys_pos10_v3}.get(
+            cfg.sort_key, ray_sort_keys_v3)
+        return kf(hp, state.ray_d, root_lo, root_hi, mat_mask)
+
+    if state_sorted:
         if cfg.reference_parity:
+            keys = _keys()
             bundle = (state.pixel, state.ray_o, state.ray_d, state.t,
                       state.normal, state.prim, state.src, bounces, beta,
                       acc, mat_mask, limbo)
@@ -306,16 +327,20 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
             p = v3.add(ray_o_p,
                        v3.scale(jnp.where(mat_mask, t_p, 0.0), ray_d_p))
         elif _compact_bundle_ok(scene, cfg):
-            # 15-payload-column bundle (round-4 sort diet; the sort's cost
-            # is linear in columns moved).  Three packings vs the 18-column
-            # form, all bit-lossless except the normal:
+            # 11-payload-column bundle (round-4 sort diet; the sort's cost
+            # is linear in columns moved).  Five packings vs the 18-column
+            # form, bit-lossless except the normal and the two radiance
+            # triples:
             #   pbm  = pixel(21) | bounces(7, saturating dead sentinel 127)
             #          | mat(1)   — every dead lane is re-marked DEAD by gen
             #          below, so the DEAD/DEAD+1 distinction never survives
             #          an iteration
             #   sp   = prim+1(23) | src(8) — prim -1 (no hit) packs as 0
-            #   onrm = 16+16-bit octahedral normal (sorting.oct_encode_v3;
-            #          the one lossy field, ~2^-15 rad)
+            #   onrm = 16+16-bit octahedral normal (sorting.oct_encode_v3,
+            #          ~2^-15 rad)
+            #   b9/a9 = beta/acc as shared-exponent RGB9E5 (<= 2^-9 relative
+            #          per re-encode on the dominant channel — statistical
+            #          quantities only, far below shot noise)
             # _compact_bundle_ok gates the static ranges; oversized scenes
             # fall through to the wide bundle below.
             b7 = jnp.minimum(bounces, 127)
@@ -323,9 +348,18 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
                 (mat_mask.astype(jnp.int32) << 28)
             sp = (state.prim + 1) | (state.src << 23)
             onrm = oct_encode_v3(state.normal)
-            bundle = (hp, state.ray_d, beta, acc, pbm, sp, onrm)
-            (p, ray_d_p, beta, acc, pbm, sp, onrm) = \
-                sort_pytree_by_key(keys, bundle)
+            b9 = rgb9e5_encode_v3(beta)
+            a9 = rgb9e5_encode_v3(acc)
+            bundle = (hp, state.ray_d, b9, a9, pbm, sp, onrm)
+            if k_sort > 1:
+                bundle = jax.lax.cond(
+                    do_gen, lambda b: sort_pytree_by_key(_keys(), b),
+                    lambda b: b, bundle)
+            else:
+                bundle = sort_pytree_by_key(_keys(), bundle)
+            (p, ray_d_p, b9, a9, pbm, sp, onrm) = bundle
+            beta = rgb9e5_decode_v3(b9)
+            acc = rgb9e5_decode_v3(a9)
             pixel = pbm & 0x1FFFFF
             b_dec = (pbm >> 21) & 0x7F
             bounces = jnp.where(b_dec >= 127, DEAD_BOUNCES, b_dec)
@@ -344,7 +378,7 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
             bundle = (state.pixel, hp, state.ray_d, state.normal,
                       state.prim, beta, acc, meta)
             (pixel, p, ray_d_p, normal, prim, beta, acc, meta) = \
-                sort_pytree_by_key(keys, bundle)
+                sort_pytree_by_key(_keys(), bundle)
             mat_mask = (meta >> 27) & 1 != 0
             src = (meta >> 15) & 0xFFF
             b_dec = meta & 0x7FFF
@@ -463,15 +497,18 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
                    chs_t=chs_t)
         return out
 
-    b1u1, b1u2 = draw(_W_BSDF1), draw(_W_BSDF1 + 1)
-    b2u1, b2u2 = draw(_W_BSDF2), draw(_W_BSDF2 + 1)
+    b1u1, b1u2 = draw_pair(_W_BSDF1)
+    b2u1, b2u2 = draw_pair(_W_BSDF2)
     shade_in = (src, prim, beta, p, ray_d_p, normal, mat_mask,
                 (b1u1, b1u2, b1u1),
-                draw(_W_LIGHT_PICK),
+                u_pick,
                 draw_pair(_W_LIGHT_UV),
                 (b2u1, b2u2, b2u1))
     C = cfg.shade_chunks_effective
-    if state_sorted and C > 1 and n % C == 0:
+    if state_sorted and C > 1 and n % C == 0 and k_sort == 1:
+        # (sort_every > 1 disables the window: on skip iterations the live
+        # lanes are a subset of the PREVIOUS prefix, not the first num_mat
+        # slots, so a num_mat-wide window would cut off live lanes)
         # prefix-windowed shading: continuing lanes are a contiguous prefix
         # after the sort, so shade only the ceil(num_mat/chunk) chunks that
         # overlap it (traced trip count; the loop body compiles ONCE).
@@ -516,37 +553,52 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
             chs_tgt, chs_t = sh["chs_tgt"], sh["chs_t"]
 
     # ---- gen: refill dead slots with camera rays (render.cuh:250-275) -----
-    if state_sorted and not cfg.reference_parity:
-        # after the sort the continuing lanes are EXACTLY the prefix (dead
-        # lanes all carry the max key), so the exclusive prefix sum over
-        # gen_mask is plain arithmetic — drops a full-pool-width cumsum
-        # (log-passes) from every iteration.  Parity mode keeps the cumsum:
-        # limbo lanes sit interleaved with dead lanes in the suffix.
-        num_mat_g = jnp.sum(mat_mask).astype(jnp.int32)
-        gen_rank = jnp.maximum(
-            jnp.arange(n, dtype=jnp.int32) - num_mat_g, 0)
+    def _gen_block(_):
+        if state_sorted and not cfg.reference_parity:
+            # after the sort the continuing lanes are EXACTLY the prefix
+            # (dead lanes all carry the max key), so the exclusive prefix
+            # sum over gen_mask is plain arithmetic — drops a full-pool-
+            # width cumsum (log-passes) from every iteration.  Parity mode
+            # keeps the cumsum: limbo lanes sit interleaved with dead lanes
+            # in the suffix.
+            num_mat_g = jnp.sum(mat_mask).astype(jnp.int32)
+            gen_rank = jnp.maximum(
+                jnp.arange(n, dtype=jnp.int32) - num_mat_g, 0)
+        else:
+            gen_rank = jnp.cumsum(gen_mask) - gen_mask  # excl. prefix sum
+        cam_id = cam_start + gen_rank.astype(jnp.int32)
+        got_ray = gen_mask & (cam_id < cam_end)
+        pix_rank = jnp.minimum(cam_id // cfg.num_samples, cfg.num_pixels - 1)
+        blocked = (cfg.camera_order == "blocked"
+                   or (cfg.camera_order == "auto" and cfg.num_samples <= 8))
+        if blocked:
+            # rank -> pixel through a 16x16-block permutation (host-built
+            # constant): consecutive sample ids map to compact screen
+            # blocks, so a packet tile of fresh camera rays traverses one
+            # screen region instead of a full-width scanline band
+            pix_new = jnp.asarray(_blocked_pixel_order(cfg.width,
+                                                       cfg.height))[pix_rank]
+        else:
+            pix_new = pix_rank  # raw pixel-major sample ids
+        ci = (pix_new % cfg.width).astype(jnp.float32)
+        cj = (pix_new // cfg.width).astype(jnp.float32)
+        gen_u, gen_v = draw_pair(_W_GEN)
+        cam_o, cam_d = camera.get_rays_v3((ci + gen_u) / cfg.width,
+                                          (cj + gen_v) / cfg.height)
+        return (got_ray, pix_new, cam_o, cam_d,
+                jnp.sum(gen_mask).astype(jnp.int32))
+
+    if k_sort > 1:
+        # skip iterations refill nothing: dead lanes idle one iteration
+        def _no_gen(_):
+            zf = lambda: jnp.zeros(n, jnp.float32)
+            return (jnp.zeros(n, bool), jnp.zeros(n, jnp.int32),
+                    (zf(), zf(), zf()), (zf(), zf(), zf()), jnp.int32(0))
+
+        got_ray, pix_new, cam_o, cam_d, num_gen = jax.lax.cond(
+            do_gen, _gen_block, _no_gen, None)
     else:
-        gen_rank = jnp.cumsum(gen_mask) - gen_mask  # exclusive prefix sum
-    cam_id = cam_start + gen_rank.astype(jnp.int32)
-    got_ray = gen_mask & (cam_id < cam_end)
-    pix_rank = jnp.minimum(cam_id // cfg.num_samples, cfg.num_pixels - 1)
-    blocked = (cfg.camera_order == "blocked"
-               or (cfg.camera_order == "auto" and cfg.num_samples <= 8))
-    if blocked:
-        # rank -> pixel through a 16x16-block permutation (host-built
-        # constant): consecutive sample ids map to compact screen blocks,
-        # so a packet tile of fresh camera rays traverses one screen
-        # region instead of a full-width scanline band
-        pix_new = jnp.asarray(_blocked_pixel_order(cfg.width,
-                                                   cfg.height))[pix_rank]
-    else:
-        pix_new = pix_rank  # raw pixel-major sample ids
-    ci = (pix_new % cfg.width).astype(jnp.float32)
-    cj = (pix_new // cfg.width).astype(jnp.float32)
-    gen_u, gen_v = draw_pair(_W_GEN)
-    cam_o, cam_d = camera.get_rays_v3((ci + gen_u) / cfg.width,
-                                      (cj + gen_v) / cfg.height)
-    num_gen = jnp.sum(gen_mask).astype(jnp.int32)
+        got_ray, pix_new, cam_o, cam_d, num_gen = _gen_block(None)
 
     # flush the radiance accumulators of slots leaving their pixel: ONE
     # deterministic scatter-add per iteration (replaces the reference's
@@ -560,7 +612,11 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     flush = tuple(jnp.where(gen_mask, c, 0.0) for c in acc)
     if state_sorted and n % 8 == 0:
         csz = n // 8
-        num_mat_i = jnp.sum(mat_mask).astype(jnp.int32)
+        # on sort_every skip iterations nothing regenerates, so nothing may
+        # flush (dead lanes are not a suffix then); num_mat_i = n makes
+        # every chunk's overlap test false
+        num_mat_i = jnp.where(do_gen, jnp.sum(mat_mask).astype(jnp.int32),
+                              jnp.int32(n))
 
         def flush_chunk(c, fb):
             def do(fb):
@@ -576,7 +632,7 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         fb = jax.lax.fori_loop(0, 8, flush_chunk, fb)
     else:
         fb = fb.at[pixel].add(jnp.stack(flush, axis=-1), mode="drop")
-    acc = tuple(jnp.where(gen_mask, 0.0, c) for c in acc)
+    acc = tuple(jnp.where(gen_mask & do_gen, 0.0, c) for c in acc)
 
     # merge mat-continued and regenerated rays into the path-ray pool
     ray_o = v3.where(mat_mask, next_o, v3.where(got_ray, cam_o, ray_o_p))

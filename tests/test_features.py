@@ -231,3 +231,28 @@ def test_adaptive_sort_key_regimes(rng):
     # normal_pos: position-major with the normal octant in the low 3 bits
     k2 = np.asarray(ray_sort_keys_normal_pos_v3(o, nrm, lo, hi, active))
     np.testing.assert_array_equal(k2[act] & 7, oc[act])
+
+
+def test_rgb9e5_roundtrip():
+    """The sort bundle's beta/acc codec: <= 2^-9-relative on the dominant
+    channel across the format's range, exact 0, NaN/inf-safe, idempotent."""
+    import numpy as np
+
+    from rtjax.render.sorting import rgb9e5_decode_v3, rgb9e5_encode_v3
+
+    r = np.random.default_rng(0)
+    v = np.exp(r.uniform(np.log(1e-4), np.log(6e4), (3, 8192))) \
+        .astype(np.float32)
+    v[:, 0] = 0.0
+    v[0, 1], v[1, 2] = np.nan, np.inf
+    w = rgb9e5_encode_v3(tuple(jnp.asarray(c) for c in v))
+    d = np.stack([np.asarray(c) for c in rgb9e5_decode_v3(w)])
+    # the codec refuses non-finite inputs outright (inf -> 0, matching the
+    # engine's _accum policy), then clamps to the format range
+    vc = np.where(np.isfinite(v), np.clip(v, 0, 511 / 512 * 65536), 0.0)
+    m = vc.max(0)
+    rel = np.abs(d - vc).max(0) / np.maximum(m, 1e-30)
+    assert rel[m >= 2.0**-14].max() <= 2.0**-9
+    assert (d[:, 0] == 0).all() and d[0, 1] == 0 and d[1, 2] == 0
+    w2 = rgb9e5_encode_v3(tuple(jnp.asarray(c) for c in d))
+    np.testing.assert_array_equal(np.asarray(w2), np.asarray(w))

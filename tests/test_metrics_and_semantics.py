@@ -113,7 +113,9 @@ def test_windowed_flush_loses_no_radiance():
                        num_working_paths=1 << 10, traversal="pallas")
     fb, _ = render_frame(scene, cam, cfg, jax.random.key(2))
     img = np.asarray(fb)
-    np.testing.assert_allclose(img, 0.7, atol=1e-5)  # sqrt(0.49)
+    # sqrt(0.49); atol covers the sort bundle's RGB9E5 acc quantization
+    # (<= 2^-10 relative per carry) — a LOST flush errs by the full 0.7
+    np.testing.assert_allclose(img, 0.7, atol=2e-3)
 
 
 def test_adaptive_pool_size():
@@ -130,3 +132,39 @@ def test_adaptive_pool_size():
     assert RenderConfig(width=1920, height=1080,
                         num_samples=4).pool_size == 1 << 19
     assert RenderConfig(num_working_paths=512).pool_size == 512
+
+
+def test_sort_every_conserves_radiance():
+    """sort_every=2 skips the gen/flush block on alternate iterations; the
+    constant-env probe (every camera ray carries exactly env radiance)
+    catches any dropped or double-counted flush, and the cornell mean
+    checks the estimator is unbiased under the staggered schedule."""
+    import dataclasses
+
+    b = SceneBuilder()
+    m = b.make_matte((0.5, 0.5, 0.5))
+    b.add_triangles([100, 100, 100], [101, 100, 100], [100, 101, 100], m)
+    b.set_environment((0.49, 0.49, 0.49))
+    scene = b.build()
+    cam = Camera.make((0, 0, 3), (0, 0, 0), (0, 1, 0), 40, 1.0)
+    cfg = RenderConfig(width=32, height=32, num_samples=16, max_bounces=3,
+                       num_working_paths=1 << 10, traversal="pallas",
+                       sort_every=2)
+    fb, st = render_frame(scene, cam, cfg, jax.random.key(2))
+    np.testing.assert_allclose(np.asarray(fb), 0.7, atol=2e-3)
+    # exactly all camera samples were generated, none twice
+    assert float(st["rays_traced"]) == 32 * 32 * 16
+
+    from scenes import cornell
+    scene2, _ = cornell(light_size=0.5, light_l=(4.0, 4.0, 4.0))
+    cfg2 = RenderConfig(width=24, height=24, num_samples=48, max_bounces=4,
+                        num_working_paths=1 << 12)
+    fb1, _ = render_frame(scene2, cam, dataclasses.replace(cfg2,
+                                                           sort_every=1),
+                          jax.random.key(3))
+    fb2, _ = render_frame(scene2, cam, dataclasses.replace(cfg2,
+                                                           sort_every=2),
+                          jax.random.key(3))
+    a, b2 = np.asarray(fb1), np.asarray(fb2)
+    assert np.isfinite(b2).all()
+    assert abs(a.mean() - b2.mean()) < 0.01
