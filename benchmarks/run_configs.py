@@ -138,6 +138,9 @@ def main():
                     help="closest-hit traversal engine (A/B experiment)")
     ap.add_argument("--sort-every", type=int, default=None,
                     help="sort/gen/flush every k-th iteration (A/B)")
+    ap.add_argument("--two-level", default=None,
+                    choices=["auto", "kernel", "repass"],
+                    help="instanced traversal strategy (config 4 A/B)")
     args = ap.parse_args()
     which = set(int(x) for x in args.configs.split(","))
     sk = {} if args.sort_key is None else {"sort_key": args.sort_key}
@@ -145,6 +148,8 @@ def main():
         sk["walker"] = args.walker
     if args.sort_every is not None:
         sk["sort_every"] = args.sort_every
+    if args.two_level is not None:
+        sk["two_level"] = args.two_level
 
     import jax
     jax.config.update("jax_compilation_cache_dir",

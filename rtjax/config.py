@@ -51,6 +51,15 @@ class RenderConfig:
     # camera-gen cost on skipped iterations; only active on the compact
     # sorted bundle (non-parity); window shading is disabled when > 1.
     sort_every: int = 1
+    # two-level (instanced) traversal strategy on the pallas path:
+    # "kernel" = single-launch in-kernel instance loop (each packet tile
+    # walks the tile-union of overlapping instances, nearest first);
+    # "repass" = multi-pass re-dispatch (each pass, every ray picks its
+    # nearest unwalked candidate instance and all rays walk that mesh's
+    # BLAS in one coherent single-level launch; passes repeat until no
+    # candidates remain).  "auto" selects per measurement (see
+    # render/trace.py).  Ignored for non-instanced scenes.
+    two_level: str = "auto"
     # sort key: "morton" (octant-major origin cell), "morton_pos"
     # (position-major origin cell), "prim" (octant-major origin triangle),
     # "prim_pos" (position-major origin triangle), "normal_pos"

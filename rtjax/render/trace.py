@@ -177,8 +177,8 @@ def _matvec_v3(M, n):
                  for r in range(3))
 
 
-def _instance_mask(inst, k, o, d):
-    """Vector slab test of all rays vs instance k's world AABB (triples)."""
+def _instance_entry_exit(inst, k, o, d):
+    """Slab entry/exit distances of all rays vs instance k's world AABB."""
     lo, hi = inst.aabb_lo[k], inst.aabb_hi[k]
     entry, exit_ = None, None
     for c in range(3):
@@ -191,7 +191,210 @@ def _instance_mask(inst, k, o, d):
         far = jnp.maximum(e0, e1)
         entry = near if entry is None else jnp.maximum(entry, near)
         exit_ = far if exit_ is None else jnp.minimum(exit_, far)
+    return entry, exit_
+
+
+def _instance_mask(inst, k, o, d):
+    """Vector slab test of all rays vs instance k's world AABB (triples)."""
+    entry, exit_ = _instance_entry_exit(inst, k, o, d)
     return entry <= exit_
+
+
+def _mesh_groups(inst):
+    """Static grouping of instance ids by mesh: ``{mesh_id: [k, ...]}``."""
+    groups: dict[int, list[int]] = {}
+    for k in range(inst.num):
+        groups.setdefault(int(inst.mesh_id[k]), []).append(k)
+    return groups
+
+
+def _resolve_two_level(scene, cfg) -> str:
+    """Resolve the two-level strategy.  "auto" stays on the in-kernel loop
+    until the repass path proves out on hardware (A/B in RESULTS.md)."""
+    tl = getattr(cfg, "two_level", "auto")
+    if tl == "auto":
+        return "kernel"
+    return tl
+
+
+def _repass_ok(scene):
+    """Static gate for the multi-pass re-dispatch two-level path: base and
+    every BLAS must have wide tables (Pallas-resident)."""
+    inst = getattr(scene, "instances", None)
+    if inst is None or scene.tables is None:
+        return False
+    return all(scene.blas[m].tables is not None for m in set(inst.mesh_id))
+
+
+def _repass_setup(inst, ks, o, d):
+    """Per-ray slab precompute for one mesh group: stacked entry distances
+    ``ent [G, N]`` (clamped to 0 for inside-the-box origins) and the
+    hit-the-box validity mask ``ok [G, N]``."""
+    ents, oks = [], []
+    for k in ks:
+        entry, exit_ = _instance_entry_exit(inst, k, o, d)
+        oks.append((entry <= exit_) & (exit_ >= 0.0))
+        ents.append(jnp.maximum(entry, 0.0))
+    return jnp.stack(ents), jnp.stack(oks)
+
+
+def _repass_local_rays(inv_flat, pick, o, d):
+    """Transform rays into their picked instance's local frame: ``inv_flat``
+    is the group's ``[G, 12]`` affine table, ``pick`` the per-ray local
+    group index.  take_rows keeps the lookup a <=16-row select chain."""
+    from ..core.tables import take_rows
+    # per-column selects keep everything [N]-shaped (a [N, 12] intermediate
+    # lane-pads 12 -> 128 on TPU; 12 independent column chains fuse clean)
+    col = lambda c: take_rows(inv_flat[:, c], pick)
+    o_l = tuple(col(4 * r + 0) * o[0] + col(4 * r + 1) * o[1]
+                + col(4 * r + 2) * o[2] + col(4 * r + 3) for r in range(3))
+    d_l = tuple(col(4 * r + 0) * d[0] + col(4 * r + 1) * d[1]
+                + col(4 * r + 2) * d[2] for r in range(3))
+    return o_l, d_l
+
+
+def _repass_closest(scene, cfg, interp, o, d, tmax, active, with_stats):
+    """Two-level closest hit by MULTI-PASS RE-DISPATCH: every pass, each ray
+    picks its nearest not-yet-walked candidate instance (world-AABB slab
+    entry < current t) and ALL rays walk that mesh's single-level BLAS in
+    ONE coherent launch (rays transform per-ray into their own instance's
+    local frame first — instances of one mesh share the tree, so the launch
+    stays dense).  Passes repeat until no ray has a live candidate; tmax
+    shrinks globally between passes, so pass j+1 only runs the boundary
+    rays whose next candidate is still closer than their best hit.
+
+    This is the TPU-native fix for per-tile instance divergence: the
+    in-kernel loop (wide_traverse_closest_inst) pays the TILE-UNION of
+    overlapping instances (~70 walk rounds/tile on the 16-bunny config 4,
+    docs/ROUND3.md), while each re-dispatch pass costs one single-BLAS walk
+    at per-RAY candidate occupancy — the wavefront analog of the
+    reference's per-thread two-level descent (it has none; instancing is an
+    extension, BASELINE.md config 4).
+    Returns ``(hit, t, prim, src, n_local, steps, leafs)``; normals are
+    LOCAL frame (caller applies the cofactor transform by src).
+    """
+    from ..core.tables import take_rows
+    inst = scene.instances
+    BIG = jnp.float32(3.0e38)
+
+    # base scene: one plain single-level launch (walker auto -> persist)
+    closest, _ = _backend("pallas", interp, scene.tables, scene.bvh,
+                          scene.tris, cfg.stack_size, with_stats,
+                          getattr(scene, "leaf_hbm", False),
+                          getattr(scene, "meta_vmem", False),
+                          walker=getattr(cfg, "walker", "auto"))
+    hit, t, prim, n_l, *st = closest(o, d, tmax, active)
+    t = jnp.where(hit, t, tmax)
+    src = jnp.zeros_like(prim)
+    steps, leafs = (st[0][0], st[0][1]) if with_stats else (
+        jnp.int32(0), jnp.int32(0))
+
+    for mesh_id, ks in _mesh_groups(inst).items():
+        blas = scene.blas[mesh_id]
+        c_k, _ = _backend("pallas", interp, blas.tables, blas.bvh, blas.tris,
+                          cfg.stack_size, with_stats,
+                          meta_vmem=_tables_meta_vmem(blas.tables),
+                          walker=getattr(cfg, "walker", "auto"))
+        G = len(ks)
+        ent, ok = _repass_setup(inst, ks, o, d)          # [G, N]
+        inv_flat = jnp.stack([inst.inv[k].reshape(12) for k in ks])
+        src_of = jnp.asarray([k + 1 for k in ks], jnp.int32)
+        g_iota = jnp.arange(G, dtype=jnp.int32)[:, None]
+
+        def cand_of(t, walked):
+            return ok & ~walked & (ent < t[None]) & active[None]
+
+        def cond(c):
+            return jnp.any(cand_of(c[0], c[7]))
+
+        def body(c):
+            t, prim, src, hit, n0, n1, n2, walked, steps, leafs = c
+            cand = cand_of(t, walked)
+            pend = jnp.any(cand, axis=0)
+            pick = jnp.argmin(jnp.where(cand, ent, BIG), axis=0
+                              ).astype(jnp.int32)
+            walked = walked | ((g_iota == pick[None]) & pend[None])
+            o_l, d_l = _repass_local_rays(inv_flat, pick, o, d)
+            h2, t2, p2, nl2, *st2 = c_k(o_l, d_l, t, pend)
+            if with_stats:
+                steps = steps + st2[0][0]
+                leafs = leafs + st2[0][1]
+            closer = h2 & (t2 < t)
+            t = jnp.where(closer, t2, t)
+            prim = jnp.where(closer, p2, prim)
+            src = jnp.where(closer, take_rows(src_of, pick), src)
+            n0 = jnp.where(closer, nl2[0], n0)
+            n1 = jnp.where(closer, nl2[1], n1)
+            n2 = jnp.where(closer, nl2[2], n2)
+            hit = hit | closer
+            return (t, prim, src, hit, n0, n1, n2, walked, steps, leafs)
+
+        walked0 = jnp.zeros((G,) + t.shape, bool)
+        carry = (t, prim, src, hit, n_l[0], n_l[1], n_l[2], walked0,
+                 steps, leafs)
+        carry = jax.lax.while_loop(cond, body, carry)
+        (t, prim, src, hit, nx, ny, nz, _, steps, leafs) = carry
+        n_l = (nx, ny, nz)
+
+    return hit, t, prim, src, n_l, steps, leafs
+
+
+def _repass_anyhit(scene, cfg, interp, o, d, tmax, exclude, active,
+                   with_stats):
+    """Two-level any-hit by multi-pass re-dispatch (see _repass_closest).
+    Exclusion applies only within the base scene (lights are never
+    instanced); occluded rays drop out of later passes."""
+    inst = scene.instances
+    BIG = jnp.float32(3.0e38)
+    _, anyhit = _backend("pallas", interp, scene.tables, scene.bvh,
+                         scene.tris, cfg.stack_size, with_stats,
+                         getattr(scene, "leaf_hbm", False),
+                         getattr(scene, "meta_vmem", False))
+    occ = anyhit(o, d, tmax, exclude, active)
+    if with_stats:
+        occ, (steps, leafs) = occ
+    else:
+        steps = leafs = jnp.int32(0)
+    no_excl = jnp.full(tmax.shape, -1, jnp.int32)
+
+    for mesh_id, ks in _mesh_groups(inst).items():
+        blas = scene.blas[mesh_id]
+        _, a_k = _backend("pallas", interp, blas.tables, blas.bvh, blas.tris,
+                          cfg.stack_size, with_stats,
+                          meta_vmem=_tables_meta_vmem(blas.tables))
+        G = len(ks)
+        ent, ok = _repass_setup(inst, ks, o, d)
+        inv_flat = jnp.stack([inst.inv[k].reshape(12) for k in ks])
+        g_iota = jnp.arange(G, dtype=jnp.int32)[:, None]
+
+        def cand_of(occ, walked):
+            return ok & ~walked & (ent < tmax[None]) & active[None] \
+                & ~occ[None]
+
+        def cond(c):
+            return jnp.any(cand_of(c[0], c[1]))
+
+        def body(c):
+            occ, walked, steps, leafs = c
+            cand = cand_of(occ, walked)
+            pend = jnp.any(cand, axis=0)
+            pick = jnp.argmin(jnp.where(cand, ent, BIG), axis=0
+                              ).astype(jnp.int32)
+            walked = walked | ((g_iota == pick[None]) & pend[None])
+            o_l, d_l = _repass_local_rays(inv_flat, pick, o, d)
+            occ_k = a_k(o_l, d_l, tmax, no_excl, pend)
+            if with_stats:
+                occ_k, (s2, l2) = occ_k
+                steps, leafs = steps + s2, leafs + l2
+            return occ | occ_k, walked, steps, leafs
+
+        walked0 = jnp.zeros((G,) + tmax.shape, bool)
+        occ, _, steps, leafs = jax.lax.while_loop(
+            cond, body, (occ, walked0, steps, leafs))
+
+    if with_stats:
+        return occ, (steps, leafs)
+    return occ
 
 
 def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
@@ -218,6 +421,18 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
             n_w = v3.to_array(n_w)
         out = (hit, t, prim, src, n_w)
         return out + ((st,) if with_stats else ())
+
+    # multi-pass re-dispatch two-level path (opt-in / auto): per-ray
+    # nearest-candidate passes over coherent single-BLAS launches
+    if inst is not None and mode == "pallas" and \
+            _resolve_two_level(scene, cfg) == "repass" and _repass_ok(scene):
+        hit, t, prim, src, n_l, steps, leafs = _repass_closest(
+            scene, cfg, interp, o, d, tmax, active, with_stats)
+        n_w = n_l
+        for k in range(inst.num):
+            n_w = v3.where(src == k + 1, _matvec_v3(inst.nrm[k], n_l), n_w)
+        return _ret(hit, t, prim, src, n_w,
+                    (steps, leafs) if with_stats else None)
 
     # single-launch two-level fast path: the kernel walks base + all
     # instances itself (one dispatch, shared tmax pruning) instead of the
@@ -309,6 +524,10 @@ def trace_anyhit(scene, cfg, mode, interp, o, d, tmax, exclude, active,
         o = v3.from_array(o)
         d = v3.from_array(d)
     inst = getattr(scene, "instances", None)
+    if inst is not None and mode == "pallas" and \
+            _resolve_two_level(scene, cfg) == "repass" and _repass_ok(scene):
+        return _repass_anyhit(scene, cfg, interp, o, d, tmax, exclude,
+                              active, with_stats)
     if inst is not None and mode == "pallas" and scene.inst_tables is not None:
         # auto -> packet for two-level any-hit as well (see trace_closest)
         walker = _resolve_walker(cfg)
