@@ -50,7 +50,11 @@ class RenderConfig:
     # frame tail never starves.  Saves the sort (~1.3 ms at 2^18) + flush +
     # camera-gen cost on skipped iterations; only active on the compact
     # sorted bundle (non-parity); window shading is disabled when > 1.
-    sort_every: int = 1
+    # 0 = auto: k=2 on trivial-BVH scenes (<= 1024 prims, floor-dominated:
+    # config2 97.75 vs 91.6 Mrays/s), k=1 where traversal dominates and
+    # stale packet grouping costs walk rounds (config1 16.42 vs 15.07;
+    # RESULTS.md 2026-08-20 A/B).
+    sort_every: int = 0
     # two-level (instanced) traversal strategy on the pallas path:
     # "kernel" = single-launch in-kernel instance loop (each packet tile
     # walks the tile-union of overlapping instances, nearest first);

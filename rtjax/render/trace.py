@@ -209,11 +209,15 @@ def _mesh_groups(inst):
 
 
 def _resolve_two_level(scene, cfg) -> str:
-    """Resolve the two-level strategy.  "auto" stays on the in-kernel loop
-    until the repass path proves out on hardware (A/B in RESULTS.md)."""
+    """Resolve the two-level strategy.  "auto" selects the multi-pass
+    re-dispatch path: measured 3.96 (repass) vs 3.33 (kernel) Mrays/s on
+    the 16-instance config-4 scene, same v5e session (RESULTS.md
+    2026-08-20) — per-ray candidate pruning beats the in-kernel loop's
+    per-tile instance union.  Falls back to the in-kernel loop where a
+    BLAS lacks wide tables (_repass_ok)."""
     tl = getattr(cfg, "two_level", "auto")
     if tl == "auto":
-        return "kernel"
+        return "repass"
     return tl
 
 

@@ -286,8 +286,16 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     # so the frame tail never starves.  Requires the compact sorted bundle
     # (the windowed-shade/flush prefix arithmetic is only valid right after
     # a sort, so both are gated on do_gen).
-    k_sort = cfg.sort_every if (state_sorted and not cfg.reference_parity
-                                and _compact_bundle_ok(scene, cfg)) else 1
+    # sort_every == 0 resolves per workload: trivial-BVH scenes are engine-
+    # floor-dominated and win from halving the sort/gen/flush cadence
+    # (config2 97.75 vs 91.6 Mrays/s at k=2); traversal-dominated scenes
+    # lose more walk rounds to one-iteration-stale packet grouping than the
+    # skipped sort saves (config1 16.42 at k=1 vs 15.07 at k=2) —
+    # RESULTS.md 2026-08-20 same-session A/Bs.
+    k_req = cfg.sort_every if cfg.sort_every > 0 else (
+        2 if scene.tris.num <= 1024 else 1)
+    k_sort = k_req if (state_sorted and not cfg.reference_parity
+                       and _compact_bundle_ok(scene, cfg)) else 1
     if k_sort > 1:
         num_mat_pre = jnp.sum(mat_mask).astype(jnp.int32)
         do_gen = ((it % k_sort) == 0) | (num_mat_pre * 4 < n * 3)
