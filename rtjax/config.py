@@ -41,6 +41,12 @@ class RenderConfig:
     # early-out at tile level and the lane schedule's per-sublane visit
     # duplication measured 1.8x slower there (benchmarks/lane_vs_packet.py).
     walker: str = "auto"
+    # any-hit (shadow/occlusion) walk schedule: "packet" (tile-level
+    # early-out, kernels/pallas_wide.py) or "persist" (barrier-free
+    # per-sublane walkers with per-walker occlusion early-out,
+    # kernels/pallas_lane_persist.py).  "auto" resolves per the round-5
+    # on-hardware A/B (benchmarks/anyhit_ab.py; see render/trace.py).
+    anyhit_walker: str = "auto"
     # sort rays by (octant, origin Morton) before packet traversal
     sort_rays: bool = True
     # run the sort/gen/flush block only on every k-th iteration: in between,
@@ -134,6 +140,13 @@ class RenderConfig:
     # targeting the surface's own triangle (render.cuh:236).  Used to
     # quantify the fixed estimator's delta vs the CUDA binary's output.
     reference_parity: bool = False
+
+    def __post_init__(self):
+        # negative k would silently alias the auto branch (the engine tests
+        # sort_every > 0) — reject it up front (ADVICE r4 #3)
+        if self.sort_every < 0:
+            raise ValueError(
+                f"sort_every must be >= 0 (0 = auto), got {self.sort_every}")
 
     @property
     def pool_size(self) -> int:

@@ -21,7 +21,8 @@ import numpy as np
 
 from ..core import v3
 from ..kernels.pallas_lane import LSTACK, lane_traverse_closest
-from ..kernels.pallas_lane_persist import persist_traverse_closest
+from ..kernels.pallas_lane_persist import (persist_traverse_anyhit,
+                                           persist_traverse_closest)
 from ..kernels.pallas_lane_inst import (lane_traverse_anyhit_inst,
                                         lane_traverse_closest_inst)
 from ..kernels.pallas_wide import (SMEM_META_CAP, wide_traverse_anyhit,
@@ -105,7 +106,8 @@ def _st2(st):
 
 
 def _backend(mode, interp, tables, bvh, tris, stack_size, with_stats=False,
-             leaf_hbm=False, meta_vmem=False, walker="packet"):
+             leaf_hbm=False, meta_vmem=False, walker="packet",
+             anyhit_walker="auto"):
     if mode == "pallas":
         assert tables is not None, (
             "traversal='pallas' needs scenes built with max_leaf_size <= 8")
@@ -133,12 +135,28 @@ def _backend(mode, interp, tables, bvh, tris, stack_size, with_stats=False,
             closest = partial(wide_traverse_closest, tables, interpret=interp,
                               with_stats=with_stats, leaf_hbm=leaf_hbm,
                               meta_vmem=meta_vmem)
-        # any-hit stays on the packet kernel: tile-level early-out plus no
-        # per-sublane visit duplication wins there (lane_vs_packet.py)
-        return (closest,
-                partial(wide_traverse_anyhit, tables, interpret=interp,
-                        with_stats=with_stats, leaf_hbm=leaf_hbm,
-                        meta_vmem=meta_vmem))
+        # any-hit walk schedule: the round-4 packet pin rested on a
+        # tile-barrier-era A/B (benchmarks/lane_vs_packet.py); the
+        # persistent schedule composes with the occlusion early-out (a dry
+        # walker transitions immediately instead of idling at a barrier).
+        # Round-5 on-hardware whole-frame A/B (benchmarks/anyhit_ab.py,
+        # RESULTS.md 2026-08-20): persist 22.18 vs packet 22.14 Mrays/s —
+        # a tie on throughput, and persist-everywhere removes the packet
+        # kernel from lane-eligible frames entirely (one fewer compile
+        # variant).  auto therefore follows the closest-hit walker.
+        if anyhit_walker == "auto":
+            anyhit_walker = "persist" \
+                if _lane_eligible(tables, bvh, leaf_hbm) else "packet"
+        if anyhit_walker == "persist" and _lane_eligible(tables, bvh,
+                                                         leaf_hbm):
+            anyhit = partial(persist_traverse_anyhit, tables,
+                             interpret=interp, with_stats=with_stats,
+                             meta_vmem=meta_vmem)
+        else:
+            anyhit = partial(wide_traverse_anyhit, tables, interpret=interp,
+                             with_stats=with_stats, leaf_hbm=leaf_hbm,
+                             meta_vmem=meta_vmem)
+        return closest, anyhit
     # the at-cap median split can exceed BVH_MAX_DEPTH on degenerate scenes;
     # size the XLA stack from the build's actual depth so pushes are never
     # silently dropped (ADVICE r2 #1)
@@ -353,7 +371,8 @@ def _repass_anyhit(scene, cfg, interp, o, d, tmax, exclude, active,
     _, anyhit = _backend("pallas", interp, scene.tables, scene.bvh,
                          scene.tris, cfg.stack_size, with_stats,
                          getattr(scene, "leaf_hbm", False),
-                         getattr(scene, "meta_vmem", False))
+                         getattr(scene, "meta_vmem", False),
+                         anyhit_walker=getattr(cfg, "anyhit_walker", "auto"))
     occ = anyhit(o, d, tmax, exclude, active)
     if with_stats:
         occ, (steps, leafs) = occ
@@ -365,7 +384,8 @@ def _repass_anyhit(scene, cfg, interp, o, d, tmax, exclude, active,
         blas = scene.blas[mesh_id]
         _, a_k = _backend("pallas", interp, blas.tables, blas.bvh, blas.tris,
                           cfg.stack_size, with_stats,
-                          meta_vmem=_tables_meta_vmem(blas.tables))
+                          meta_vmem=_tables_meta_vmem(blas.tables),
+                          anyhit_walker=getattr(cfg, "anyhit_walker", "auto"))
         G = len(ks)
         ent, ok = _repass_setup(inst, ks, o, d)
         inv_flat = jnp.stack([inst.inv[k].reshape(12) for k in ks])

@@ -292,8 +292,16 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     # lose more walk rounds to one-iteration-stale packet grouping than the
     # skipped sort saves (config1 16.42 at k=1 vs 15.07 at k=2) —
     # RESULTS.md 2026-08-20 same-session A/Bs.
+    # "effective" geometry counts instanced BLAS triangles too: config4 has
+    # 4 base tris but 1.1M instanced ones and is traversal-dominated, so the
+    # trivially-small classification must not fire there (ADVICE r4 #1;
+    # measured 3.96 at k=1 vs 3.91 at k=2 on config4).
+    eff_tris = scene.tris.num
+    _inst = getattr(scene, "instances", None)
+    if _inst is not None:
+        eff_tris += sum(scene.blas[m].tris.num for m in _inst.mesh_id)
     k_req = cfg.sort_every if cfg.sort_every > 0 else (
-        2 if scene.tris.num <= 1024 else 1)
+        2 if eff_tris <= 1024 else 1)
     k_sort = k_req if (state_sorted and not cfg.reference_parity
                        and _compact_bundle_ok(scene, cfg)) else 1
     if k_sort > 1:

@@ -11,9 +11,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from rtjax.kernels import traverse_closest
-from rtjax.kernels.pallas_lane import lane_traverse_closest
-from rtjax.kernels.pallas_lane_persist import persist_traverse_closest
+from rtjax.kernels import traverse_anyhit, traverse_closest
+from rtjax.kernels.pallas_lane import (lane_traverse_anyhit,
+                                       lane_traverse_closest)
+from rtjax.kernels.pallas_lane_persist import (persist_traverse_anyhit,
+                                               persist_traverse_closest)
 
 from test_pallas_lane import _pack, _rays
 
@@ -88,3 +90,44 @@ def test_persist_inactive_dead_rows_and_finite_tmax(persist_scene):
     m = np.asarray(hx)
     np.testing.assert_allclose(np.asarray(tp)[m], np.asarray(tx)[m],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_persist_anyhit_matches_xla(persist_scene):
+    """Any-hit with per-lane exclusion: exact occlusion agreement with the
+    XLA oracle (occlusion is schedule-invariant — a boolean), including
+    inactive lanes and finite tmax."""
+    res, ptris, tables = persist_scene
+    bvh = res.to_device()
+    n = 3 * 2048 + 300
+    o, d = _rays(n, seed=21)
+    rng = np.random.default_rng(5)
+    active = jnp.asarray(rng.random(n) > 0.1)
+    ex = jnp.asarray(np.where(rng.random(n) > 0.5,
+                              rng.integers(0, 300, n), -1).astype(np.int32))
+    for tm in (jnp.full(n, jnp.inf), jnp.full(n, 0.7)):
+        occ_p = persist_traverse_anyhit(tables, o, d, tm, ex, active,
+                                        interpret=True)
+        occ_x = traverse_anyhit(bvh, ptris, o, d, tm, ex, active)
+        np.testing.assert_array_equal(np.asarray(occ_p), np.asarray(occ_x))
+        assert not np.asarray(occ_p)[~np.asarray(active)].any()
+
+
+def test_persist_anyhit_matches_lane_and_stats(persist_scene):
+    """Same occlusion as the tile-mode lane any-hit walker; the persistent
+    schedule's early-out must never do MORE lockstep walk rounds."""
+    _, _, tables = persist_scene
+    n = 4096
+    o, d = _rays(n, seed=9)
+    tmax = jnp.full(n, jnp.inf)
+    active = jnp.ones(n, bool)
+    ex = jnp.full(n, -1, jnp.int32)
+
+    occ_p, st_p = persist_traverse_anyhit(tables, o, d, tmax, ex, active,
+                                          interpret=True, with_stats=True)
+    occ_l, st_l = lane_traverse_anyhit(tables, o, d, tmax, ex, active,
+                                       interpret=True, with_stats=True)
+    np.testing.assert_array_equal(np.asarray(occ_p), np.asarray(occ_l))
+    r_p = int(np.asarray(st_p[0]))
+    r_l = int(np.asarray(st_l[0]))
+    assert r_p > 0
+    assert r_p <= r_l
