@@ -47,6 +47,13 @@ class RenderConfig:
     # kernels/pallas_lane_persist.py).  "auto" resolves per the round-5
     # on-hardware A/B (benchmarks/anyhit_ab.py; see render/trace.py).
     anyhit_walker: str = "auto"
+    # scenes whose base (or BLAS) triangle count is at or below this skip
+    # the BVH kernels for that launch: an unrolled all-triangles MT loop
+    # in plain XLA fuses into the iteration with zero pallas launches
+    # (render/trace.py::_direct_closest).  0 disables.  Round-5 engine
+    # floor diet: config2's 14-tri scene pays 3 pool-width kernel
+    # launches/iteration for a 2-leaf-row tree.
+    direct_max_tris: int = 64
     # sort rays by (octant, origin Morton) before packet traversal
     sort_rays: bool = True
     # run the sort/gen/flush block only on every k-th iteration: in between,

@@ -105,9 +105,96 @@ def _st2(st):
     return (st[0], st[1])
 
 
+# scenes at or below this triangle count skip the BVH kernels entirely:
+# an unrolled all-triangles MT loop is pure fused XLA vector code (zero
+# pallas launches, zero node-walk rounds).  At 64 tris the loop costs
+# ~1800 VPU ops/ray — still far below one packet launch's fixed I/O.
+# cfg.direct_max_tris overrides (0 disables).
+DIRECT_MAX_TRIS = 64
+
+
+def _direct_closest(tris, o, d, tmax, active, with_stats):
+    """Closest hit by an unrolled all-triangles MT loop (component
+    triples, exact reference accept rule, triangle.cuh:39-58).  The
+    trivially-small-scene fast path: every per-triangle constant is a
+    static slice, so XLA fuses the whole loop into the surrounding
+    iteration with no kernel launch and no [P]-table gather."""
+    T = tris.num
+    shape = tmax.shape
+    best_t = jnp.full(shape, jnp.float32(BIG_T), jnp.float32)
+    prim = jnp.full(shape, -1, jnp.int32)
+    n_out = tuple(jnp.zeros(shape, jnp.float32) for _ in range(3))
+    for k in range(T):
+        p0 = tuple(tris.p0[k, c] for c in range(3))
+        e1 = tuple(tris.e1[k, c] for c in range(3))
+        e2 = tuple(tris.e2[k, c] for c in range(3))
+        nv = tuple(tris.n[k, c] for c in range(3))
+        cx = p0[0] - o[0]; cy = p0[1] - o[1]; cz = p0[2] - o[2]
+        rx = d[1] * cz - d[2] * cy
+        ry = d[2] * cx - d[0] * cz
+        rz = d[0] * cy - d[1] * cx
+        inv_det = 1.0 / (d[0] * nv[0] + d[1] * nv[1] + d[2] * nv[2])
+        u = inv_det * (e2[0] * rx + e2[1] * ry + e2[2] * rz)
+        v = inv_det * (e1[0] * rx + e1[1] * ry + e1[2] * rz)
+        t = inv_det * (cx * nv[0] + cy * nv[1] + cz * nv[2])
+        h = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0) & \
+            (t <= tmax)
+        closer = h & (t < best_t)
+        best_t = jnp.where(closer, t, best_t)
+        prim = jnp.where(closer, k, prim)
+        n_out = tuple(jnp.where(closer, c, n) for c, n in zip(nv, n_out))
+    hit = (prim >= 0) & active
+    prim = jnp.where(hit, prim, -1)
+    out = (hit, best_t, prim, n_out)
+    if with_stats:
+        visits = (jnp.sum(active, dtype=jnp.int32) * T).astype(jnp.int32)
+        out = out + ((jnp.int32(0), visits),)
+    return out
+
+
+def _direct_anyhit(tris, o, d, tmax, exclude, active, with_stats):
+    """Occlusion by the unrolled MT loop with per-lane prim exclusion
+    (bvh.cuh:306-357 semantics, same accept rule as _direct_closest)."""
+    T = tris.num
+    occ = jnp.zeros(tmax.shape, bool)
+    for k in range(T):
+        p0 = tuple(tris.p0[k, c] for c in range(3))
+        e1 = tuple(tris.e1[k, c] for c in range(3))
+        e2 = tuple(tris.e2[k, c] for c in range(3))
+        nv = tuple(tris.n[k, c] for c in range(3))
+        cx = p0[0] - o[0]; cy = p0[1] - o[1]; cz = p0[2] - o[2]
+        rx = d[1] * cz - d[2] * cy
+        ry = d[2] * cx - d[0] * cz
+        rz = d[0] * cy - d[1] * cx
+        inv_det = 1.0 / (d[0] * nv[0] + d[1] * nv[1] + d[2] * nv[2])
+        u = inv_det * (e2[0] * rx + e2[1] * ry + e2[2] * rz)
+        v = inv_det * (e1[0] * rx + e1[1] * ry + e1[2] * rz)
+        t = inv_det * (cx * nv[0] + cy * nv[1] + cz * nv[2])
+        h = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0) & \
+            (t <= tmax) & (exclude != k)
+        occ = occ | h
+    occ = occ & active
+    if with_stats:
+        visits = (jnp.sum(active, dtype=jnp.int32) * T).astype(jnp.int32)
+        return occ, (jnp.int32(0), visits)
+    return occ
+
+
+BIG_T = 3.4e38
+
+
+def _direct_max(cfg):
+    return getattr(cfg, "direct_max_tris", DIRECT_MAX_TRIS)
+
+
 def _backend(mode, interp, tables, bvh, tris, stack_size, with_stats=False,
              leaf_hbm=False, meta_vmem=False, walker="packet",
-             anyhit_walker="auto"):
+             anyhit_walker="auto", direct_max=DIRECT_MAX_TRIS):
+    if mode == "pallas" and tris is not None and tris.num <= direct_max:
+        # trivially-small scene: the fused XLA MT loop replaces both
+        # kernels (round-5 engine floor diet #5; A/B in RESULTS.md)
+        return (partial(_direct_closest, tris, with_stats=with_stats),
+                partial(_direct_anyhit, tris, with_stats=with_stats))
     if mode == "pallas":
         assert tables is not None, (
             "traversal='pallas' needs scenes built with max_leaf_size <= 8")
@@ -149,9 +236,15 @@ def _backend(mode, interp, tables, bvh, tris, stack_size, with_stats=False,
                 if _lane_eligible(tables, bvh, leaf_hbm) else "packet"
         if anyhit_walker == "persist" and _lane_eligible(tables, bvh,
                                                          leaf_hbm):
-            anyhit = partial(persist_traverse_anyhit, tables,
-                             interpret=interp, with_stats=with_stats,
-                             meta_vmem=meta_vmem)
+            def anyhit(o, d, tmax, exclude, active, **kw):
+                out = persist_traverse_anyhit(
+                    tables, o, d, tmax, exclude, active, interpret=interp,
+                    with_stats=with_stats, meta_vmem=meta_vmem)
+                if with_stats:
+                    # normalize the lane-walker 3-tuple stats (rounds,
+                    # visits, drains) to the engine's (rounds, visits)
+                    return out[0], _st2(out[1])
+                return out
         else:
             anyhit = partial(wide_traverse_anyhit, tables, interpret=interp,
                              with_stats=with_stats, leaf_hbm=leaf_hbm,
@@ -304,7 +397,8 @@ def _repass_closest(scene, cfg, interp, o, d, tmax, active, with_stats):
                           scene.tris, cfg.stack_size, with_stats,
                           getattr(scene, "leaf_hbm", False),
                           getattr(scene, "meta_vmem", False),
-                          walker=getattr(cfg, "walker", "auto"))
+                          walker=getattr(cfg, "walker", "auto"),
+                          direct_max=_direct_max(cfg))
     hit, t, prim, n_l, *st = closest(o, d, tmax, active)
     t = jnp.where(hit, t, tmax)
     src = jnp.zeros_like(prim)
@@ -316,7 +410,8 @@ def _repass_closest(scene, cfg, interp, o, d, tmax, active, with_stats):
         c_k, _ = _backend("pallas", interp, blas.tables, blas.bvh, blas.tris,
                           cfg.stack_size, with_stats,
                           meta_vmem=_tables_meta_vmem(blas.tables),
-                          walker=getattr(cfg, "walker", "auto"))
+                          walker=getattr(cfg, "walker", "auto"),
+                          direct_max=_direct_max(cfg))
         G = len(ks)
         ent, ok = _repass_setup(inst, ks, o, d)          # [G, N]
         inv_flat = jnp.stack([inst.inv[k].reshape(12) for k in ks])
@@ -372,7 +467,8 @@ def _repass_anyhit(scene, cfg, interp, o, d, tmax, exclude, active,
                          scene.tris, cfg.stack_size, with_stats,
                          getattr(scene, "leaf_hbm", False),
                          getattr(scene, "meta_vmem", False),
-                         anyhit_walker=getattr(cfg, "anyhit_walker", "auto"))
+                         anyhit_walker=getattr(cfg, "anyhit_walker", "auto"),
+                         direct_max=_direct_max(cfg))
     occ = anyhit(o, d, tmax, exclude, active)
     if with_stats:
         occ, (steps, leafs) = occ
@@ -385,7 +481,8 @@ def _repass_anyhit(scene, cfg, interp, o, d, tmax, exclude, active,
         _, a_k = _backend("pallas", interp, blas.tables, blas.bvh, blas.tris,
                           cfg.stack_size, with_stats,
                           meta_vmem=_tables_meta_vmem(blas.tables),
-                          anyhit_walker=getattr(cfg, "anyhit_walker", "auto"))
+                          anyhit_walker=getattr(cfg, "anyhit_walker", "auto"),
+                          direct_max=_direct_max(cfg))
         G = len(ks)
         ent, ok = _repass_setup(inst, ks, o, d)
         inv_flat = jnp.stack([inst.inv[k].reshape(12) for k in ks])
@@ -495,7 +592,9 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
                           cfg.stack_size, with_stats,
                           getattr(scene, "leaf_hbm", False),
                           getattr(scene, "meta_vmem", False),
-                          walker=getattr(cfg, "walker", "packet"))
+                          walker=getattr(cfg, "walker", "packet"),
+                          direct_max=_direct_max(cfg) if mode == "pallas"
+                          else 0)
     hit, t, prim, n_w, *st = closest(o, d, tmax, active)
     t = jnp.where(hit, t, tmax)
     src = jnp.zeros_like(prim)
@@ -515,7 +614,9 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
             c_k, _ = _backend(mode_k, interp, blas.tables, blas.bvh,
                               blas.tris, cfg.stack_size, with_stats,
                               meta_vmem=_tables_meta_vmem(blas.tables),
-                              walker=getattr(cfg, "walker", "packet"))
+                              walker=getattr(cfg, "walker", "packet"),
+                              direct_max=_direct_max(cfg)
+                              if mode_k == "pallas" else 0)
             m = active & _instance_mask(inst, k, o, d)
             o_l = _affine_point_v3(inst.inv[k], o)
             d_l = _affine_vector_v3(inst.inv[k], d)  # NOT normalized:
@@ -568,7 +669,10 @@ def trace_anyhit(scene, cfg, mode, interp, o, d, tmax, exclude, active,
     _, anyhit = _backend(mode, interp, scene.tables, scene.bvh, scene.tris,
                          cfg.stack_size, with_stats,
                          getattr(scene, "leaf_hbm", False),
-                         getattr(scene, "meta_vmem", False))
+                         getattr(scene, "meta_vmem", False),
+                         anyhit_walker=getattr(cfg, "anyhit_walker", "auto"),
+                         direct_max=_direct_max(cfg) if mode == "pallas"
+                         else 0)
     occ = anyhit(o, d, tmax, exclude, active)
     if with_stats:
         occ, (steps, leafs) = occ
@@ -580,7 +684,11 @@ def trace_anyhit(scene, cfg, mode, interp, o, d, tmax, exclude, active,
             mode_k = mode if blas.tables is not None else "xla"
             _, a_k = _backend(mode_k, interp, blas.tables, blas.bvh,
                               blas.tris, cfg.stack_size, with_stats,
-                              meta_vmem=_tables_meta_vmem(blas.tables))
+                              meta_vmem=_tables_meta_vmem(blas.tables),
+                              anyhit_walker=getattr(cfg, "anyhit_walker",
+                                                    "auto"),
+                              direct_max=_direct_max(cfg)
+                              if mode_k == "pallas" else 0)
             m = active & ~occ & _instance_mask(inst, k, o, d)
             o_l = _affine_point_v3(inst.inv[k], o)
             d_l = _affine_vector_v3(inst.inv[k], d)

@@ -80,9 +80,12 @@ def test_detailed_stats_counters():
     key = jax.random.key(1)
 
     for mode in ("pallas", "xla"):
+        # direct_max_tris=0 keeps this tiny scene on the BVH kernels so
+        # the walk counters stay meaningful (the direct fast path does
+        # zero walk rounds by construction)
         cfg = RenderConfig(width=16, height=16, num_samples=8, max_bounces=4,
                            num_working_paths=1024, traversal=mode,
-                           detailed_stats=True)
+                           detailed_stats=True, direct_max_tris=0)
         fb, st = render_frame(scene, cam, cfg, key)
         hist = np.asarray(st["bounce_histogram"])
         assert hist.shape == (cfg.max_bounces + 1,)

@@ -309,7 +309,9 @@ def test_repass_two_level_matches_xla():
 
     scene = _mixed3_scene()
     assert _repass_ok(scene)
-    cfg_x = RenderConfig()
+    # direct_max_tris=0: the stats assertion below is about the BVH
+    # walk counters, which the small-scene direct fast path bypasses
+    cfg_x = RenderConfig(direct_max_tris=0)
     cfg_r = dataclasses.replace(cfg_x, two_level="repass")
 
     rng = np.random.default_rng(0)
@@ -371,3 +373,51 @@ def test_repass_render_matches_kernel_two_level():
     fk, fr = np.asarray(fb_k), np.asarray(fb_r)
     assert np.isfinite(fr).all()
     np.testing.assert_allclose(fr, fk, rtol=1e-4, atol=1e-5)
+
+
+def test_direct_small_scene_matches_xla():
+    """The trivially-small-scene fast path (unrolled MT loop, zero pallas
+    launches) must agree with the XLA traversal exactly: same accept
+    rule, leaf-order prim ids, unnormalized normals, and occlusion with
+    per-lane exclusion."""
+    import dataclasses
+    b = SceneBuilder()
+    white = b.make_matte((0.7, 0.7, 0.7))
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        base = rng.uniform(-1, 1, 3)
+        b.add_triangles(base, base + rng.uniform(-0.6, 0.6, 3),
+                        base + rng.uniform(-0.6, 0.6, 3), white)
+    b.add_area_light([-0.3, 1.5, -0.3], [0.3, 1.5, -0.3], [0.3, 1.5, 0.3],
+                     (5, 5, 5), white)
+    scene = b.build()
+    assert scene.tris.num <= 64  # the direct gate must engage
+
+    n = 512
+    o = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmax = jnp.full(n, jnp.inf)
+    active = jnp.asarray(rng.random(n) > 0.1)
+
+    cfg = RenderConfig()
+    cfg0 = dataclasses.replace(cfg, direct_max_tris=0)
+    hd = trace_closest(scene, cfg, "pallas", True, o, d, tmax, active)
+    hx = trace_closest(scene, cfg0, "xla", True, o, d, tmax, active)
+    m = np.asarray(hx[0])
+    assert m.sum() > 20
+    np.testing.assert_array_equal(np.asarray(hd[0]), m)
+    np.testing.assert_allclose(np.asarray(hd[1])[m], np.asarray(hx[1])[m],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(hd[2])[m], np.asarray(hx[2])[m])
+    np.testing.assert_array_equal(np.asarray(hd[4])[m], np.asarray(hx[4])[m])
+
+    ex = jnp.asarray(np.where(rng.random(n) > 0.5,
+                              rng.integers(0, scene.tris.num, n),
+                              -1).astype(np.int32))
+    od = trace_anyhit(scene, cfg, "pallas", True, o, d, jnp.full(n, 2.0),
+                      ex, active)
+    ox = trace_anyhit(scene, cfg0, "xla", True, o, d, jnp.full(n, 2.0),
+                      ex, active)
+    np.testing.assert_array_equal(np.asarray(od), np.asarray(ox))
