@@ -23,8 +23,6 @@ from ..core import v3
 from ..kernels.pallas_lane import LSTACK, lane_traverse_closest
 from ..kernels.pallas_lane_persist import (persist_traverse_anyhit,
                                            persist_traverse_closest)
-from ..kernels.pallas_lane_inst import (lane_traverse_anyhit_inst,
-                                        lane_traverse_closest_inst)
 from ..kernels.pallas_wide import (SMEM_META_CAP, wide_traverse_anyhit,
                                    wide_traverse_anyhit_inst,
                                    wide_traverse_closest,
@@ -81,22 +79,6 @@ def _lane_eligible(tables, bvh, leaf_hbm):
     stack slices (wide-tree depth <= binary build depth <= LSTACK)."""
     return (tables is not None and not tables.packed_nodes and not leaf_hbm
             and bvh.max_depth <= LSTACK)
-
-
-def _lane_inst_eligible(scene):
-    """Same gate for the two-level single-launch path: every participating
-    build (base + each BLAS) must fit the lane stack."""
-    tabs = scene.inst_tables
-    if tabs is None or tabs.wide.packed_nodes:
-        return False
-    depth = scene.bvh.max_depth
-    for blas in scene.blas:
-        depth = max(depth, blas.bvh.max_depth)
-    return depth <= LSTACK
-
-
-def _resolve_walker(cfg):
-    return getattr(cfg, "walker", "packet")
 
 
 def _st2(st):
@@ -564,17 +546,12 @@ def trace_closest(scene, cfg, mode, interp, o, d, tmax, active,
                    f"(O({inst.num}) launches/bounce): combined tables "
                    "exceeded the single-launch kernel's VMEM/SMEM caps")
     if inst is not None and mode == "pallas" and scene.inst_tables is not None:
-        # two-level walker choice: `auto` stays on the PACKET kernel —
-        # measured on config 4 (16 overlapping bunnies, 1.1M tris): packet
-        # 3.35 vs lane 3.02 Mrays/s.  Per-sublane TLAS scheduling re-walks
-        # overlapping instances once per sublane, and the mostly-coherent
-        # instanced workload never recoups that duplication.  walker="lane"
-        # selects it explicitly (hits stay bitwise-equal either way).
-        walker = _resolve_walker(cfg)
-        lane = walker == "lane" and _lane_inst_eligible(scene)
-        kern = lane_traverse_closest_inst if lane \
-            else wide_traverse_closest_inst
-        out = kern(
+        # two-level in-kernel fallback (repass is the auto path): the
+        # PACKET kernel — a round-4 per-sublane-TLAS variant
+        # (pallas_lane_inst) lost its only A/B (3.02 vs 3.35 Mrays/s on
+        # config 4) and was deleted in round 5 (win-or-delete,
+        # docs/PERF_NOTES.md).
+        out = wide_traverse_closest_inst(
             scene.inst_tables, o, d, tmax, active, interpret=interp,
             with_stats=with_stats,
             meta_vmem=_inst_meta_vmem(scene.inst_tables))
@@ -654,11 +631,8 @@ def trace_anyhit(scene, cfg, mode, interp, o, d, tmax, exclude, active,
         return _repass_anyhit(scene, cfg, interp, o, d, tmax, exclude,
                               active, with_stats)
     if inst is not None and mode == "pallas" and scene.inst_tables is not None:
-        # auto -> packet for two-level any-hit as well (see trace_closest)
-        walker = _resolve_walker(cfg)
-        lane = walker == "lane" and _lane_inst_eligible(scene)
-        kern = lane_traverse_anyhit_inst if lane else wide_traverse_anyhit_inst
-        out = kern(
+        # in-kernel two-level any-hit fallback (see trace_closest)
+        out = wide_traverse_anyhit_inst(
             scene.inst_tables, o, d, tmax, exclude, active, interpret=interp,
             with_stats=with_stats,
             meta_vmem=_inst_meta_vmem(scene.inst_tables))

@@ -47,6 +47,7 @@ CFG = RenderConfig(width=32, height=32, num_samples=48, max_bounces=3,
                    num_working_paths=4096)
 
 
+@pytest.mark.slow
 def test_instanced_matches_baked():
     f1, _ = render_frame(_scene(False), CAM, CFG, jax.random.key(1))
     f2, _ = render_frame(_scene(True), CAM, CFG, jax.random.key(1))

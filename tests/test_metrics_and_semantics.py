@@ -1,5 +1,6 @@
 """Image-metric unit tests + wavefront semantic edge cases."""
 
+import pytest
 import jax
 import numpy as np
 
@@ -64,6 +65,7 @@ def test_spp_scaling_reduces_variance():
     assert imgs[64] < imgs[8] / 3.0
 
 
+@pytest.mark.slow
 def test_detailed_stats_counters():
     """detailed_stats=True (SURVEY.md §5 observability) adds a bounce-depth
     histogram and traversal work counters without changing the image."""

@@ -41,6 +41,7 @@ def _free_port():
 
 
 
+@pytest.mark.slow
 def test_two_process_sharded_render_matches_single_process(tmp_path):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     coord = f"127.0.0.1:{_free_port()}"

@@ -38,7 +38,8 @@ def _pack(n_tris=300, max_leaf=8, seed=11, width=8):
     return res, ptris, tables
 
 
-@pytest.fixture(scope="module", params=[8, 16], ids=["w8", "w16"])
+@pytest.fixture(scope="module", params=[
+    8, pytest.param(16, marks=pytest.mark.slow)], ids=["w8", "w16"])
 def lane_scene(request):
     return _pack(width=request.param)
 
@@ -70,6 +71,7 @@ def test_lane_closest_matches_xla(lane_scene):
     np.testing.assert_array_equal(np.asarray(nl)[m], np.asarray(nx_)[m])
 
 
+@pytest.mark.slow
 def test_lane_closest_matches_packet(lane_scene):
     """Bitwise agreement with the packet kernel on a mixed batch, plus the
     stats contract (rounds, visits) being positive and finite."""
@@ -108,6 +110,7 @@ def test_lane_anyhit_matches_xla(lane_scene):
     np.testing.assert_array_equal(np.asarray(ol), np.asarray(ox))
 
 
+@pytest.mark.slow
 def test_lane_inactive_and_finite_tmax(lane_scene):
     """Inactive lanes stay misses; finite tmax prunes far hits identically
     to the oracle."""

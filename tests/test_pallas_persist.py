@@ -20,7 +20,8 @@ from rtjax.kernels.pallas_lane_persist import (persist_traverse_anyhit,
 from test_pallas_lane import _pack, _rays
 
 
-@pytest.fixture(scope="module", params=[8, 16], ids=["w8", "w16"])
+@pytest.fixture(scope="module", params=[
+    8, pytest.param(16, marks=pytest.mark.slow)], ids=["w8", "w16"])
 def persist_scene(request):
     return _pack(width=request.param)
 
@@ -45,6 +46,7 @@ def test_persist_closest_matches_xla(persist_scene):
     np.testing.assert_array_equal(np.asarray(np_)[m], np.asarray(nx_)[m])
 
 
+@pytest.mark.slow
 def test_persist_closest_matches_lane(persist_scene):
     """Bitwise agreement with the tile-mode lane walker, plus the stats
     contract: same popped-visit class, and the persistent schedule must
@@ -69,6 +71,7 @@ def test_persist_closest_matches_lane(persist_scene):
     assert v_p / 16 <= d_p <= v_p
 
 
+@pytest.mark.slow
 def test_persist_inactive_dead_rows_and_finite_tmax(persist_scene):
     """Whole-dead rows (a walker pops its fresh row for free), inactive
     lanes, and finite tmax all match the oracle."""
@@ -112,6 +115,7 @@ def test_persist_anyhit_matches_xla(persist_scene):
         assert not np.asarray(occ_p)[~np.asarray(active)].any()
 
 
+@pytest.mark.slow
 def test_persist_anyhit_matches_lane_and_stats(persist_scene):
     """Same occlusion as the tile-mode lane any-hit walker; the persistent
     schedule's early-out must never do MORE lockstep walk rounds."""

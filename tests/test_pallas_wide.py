@@ -146,6 +146,7 @@ def test_wide_dead_lanes():
     assert not np.asarray(hp).any()
 
 
+@pytest.mark.slow
 def test_leaf_hbm_streaming_matches_vmem():
     """leaf_hbm=True (big-scene mode: leaf table in HBM, rows DMA-streamed
     through a prefetch ring) must produce bitwise-identical results to the
@@ -184,6 +185,7 @@ def test_leaf_hbm_streaming_matches_vmem():
     np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
 
 
+@pytest.mark.slow
 def test_meta_vmem_matches_smem():
     """meta_vmem mode (node meta read from bounds-row mirror lanes instead
     of SMEM — the big-scene path that lifts the ~1 MB SMEM ceiling) must be
@@ -225,6 +227,7 @@ def test_meta_vmem_matches_smem():
     np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
 
 
+@pytest.mark.slow
 def test_packed_nodes_match_unpacked(packed_scene):
     """Two-nodes-per-row packing (the big-scene node tier) must be exactly
     equivalent: same hits, t, prims, normals and occlusion, in both the
@@ -291,6 +294,7 @@ def _check_tree(tables):
     assert not np.asarray(tables.leaf_tris)[-1].any()
 
 
+@pytest.mark.slow
 def test_width16_matches_width8(packed_scene):
     """16-wide tables (DP collapse, one node per 128-lane row) must agree
     with the 8-wide tables on hits/t/prim/normal and occlusion, in both

@@ -1,5 +1,6 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh."""
 
+import pytest
 import jax
 import numpy as np
 
@@ -32,6 +33,7 @@ def test_sharded_matches_single_device():
     assert float(stats["rays_traced"]) > 0
 
 
+@pytest.mark.slow
 def test_sharded_deterministic():
     scene, _ = cornell(light_size=0.5, light_l=(4.0, 4.0, 4.0))
     cam = default_camera()

@@ -42,6 +42,7 @@ def test_parity_noop_without_quirk_paths():
     np.testing.assert_array_equal(np.asarray(fb_fixed), np.asarray(fb_parity))
 
 
+@pytest.mark.slow
 def test_parity_matte_area_light_agrees_in_mean():
     """For matte surfaces the reference's two MIS bugs nearly cancel: the
     truncated scattering pdf (cos/pi < 1 -> int 0) gives the NEE channel
@@ -62,6 +63,7 @@ def test_parity_matte_area_light_agrees_in_mean():
     assert abs(mf - mp) / mf < 0.03
 
 
+@pytest.mark.slow
 def test_parity_mirror_loses_specular_light_reflection():
     """A mirror floor reflecting an area light gets that reflection ONLY via
     the BSDF-sampling channel (specular get_f returns false, material.cuh:

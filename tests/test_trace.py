@@ -1,5 +1,6 @@
 """Unit tests for the two-level trace layer (rtjax/render/trace.py)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -140,6 +141,7 @@ def test_instance_normal_nonuniform_scale():
     assert abs(np.dot(nn, tan2)) < 1e-5
 
 
+@pytest.mark.slow
 def test_instanced_pallas_matches_xla_random_rays():
     """The single-launch two-level Pallas kernel (Scene.inst_tables) must
     agree with the per-instance XLA loop on random rays: same hits, same
@@ -298,6 +300,7 @@ def _mixed3_scene():
     return b.build()
 
 
+@pytest.mark.slow
 def test_repass_two_level_matches_xla():
     """The multi-pass re-dispatch two-level path (two_level='repass') must
     agree with the per-instance XLA loop: same hits, same (src, prim)
@@ -350,6 +353,7 @@ def test_repass_two_level_matches_xla():
     assert int(steps) > 0 and int(leafs) > 0
 
 
+@pytest.mark.slow
 def test_repass_render_matches_kernel_two_level():
     """A full wavefront render of an instanced scene must be (numerically)
     identical under two_level='repass' and the in-kernel loop: the same
