@@ -366,14 +366,22 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
             onrm = oct_encode_v3(state.normal)
             b9 = rgb9e5_encode_v3(beta)
             a9 = rgb9e5_encode_v3(acc)
-            bundle = (hp, state.ray_d, b9, a9, pbm, sp, onrm)
+            # round-5 diet: ray_d rides as one 16+16-bit octahedral column
+            # instead of three f32 ones (9 payload columns, was 11).  The
+            # decoded direction only ever feeds shading's wo (the next
+            # path ray is freshly BSDF-sampled, and hp was computed from
+            # the exact d before the sort), so the ~2^-15-rad quantization
+            # is statistical-only — same contract as the normal's oct16.
+            od = oct_encode_v3(state.ray_d)
+            bundle = (hp, b9, a9, pbm, sp, onrm, od)
             if k_sort > 1:
                 bundle = jax.lax.cond(
                     do_gen, lambda b: sort_pytree_by_key(_keys(), b),
                     lambda b: b, bundle)
             else:
                 bundle = sort_pytree_by_key(_keys(), bundle)
-            (p, ray_d_p, b9, a9, pbm, sp, onrm) = bundle
+            (p, b9, a9, pbm, sp, onrm, od) = bundle
+            ray_d_p = oct_decode_v3(od)
             beta = rgb9e5_decode_v3(b9)
             acc = rgb9e5_decode_v3(a9)
             pixel = pbm & 0x1FFFFF
