@@ -136,6 +136,20 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: CLI invocations are separate
+    processes, and a cold whole-frame compile through the remote-TPU
+    tunnel costs minutes — cache hits make repeat renders start in
+    seconds.  JAX_CACHE_DIR overrides the location."""
+    import os
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR",
+                                     "/tmp/rtjax-jit-cache-tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="rtjax")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -147,6 +161,7 @@ def main(argv=None) -> int:
     pb.add_argument("--reps", type=int, default=2,
                     help="timed repetitions (min is reported)")
     args = parser.parse_args(argv)
+    _enable_compile_cache()
     if args.cmd == "render":
         return cmd_render(args)
     if args.cmd == "bench":

@@ -310,6 +310,20 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
     else:
         do_gen = jnp.bool_(True)
 
+    # "dirty" = dead lanes still holding unflushed radiance.  The TPU
+    # scatter-add costs ~20 ns per update SLOT regardless of value, and in
+    # the frame TAIL (camera rays exhausted) the dead suffix grows toward
+    # the whole pool while almost every lane's acc is already flushed —
+    # so long-dead lanes re-scattered zeros for ~10 iterations.  A third
+    # sort-key class (live < dirty-dead < clean-dead, keys below) packs
+    # the dirty lanes right after the live prefix and the flush scatter
+    # windows to [num_mat, num_mat + num_dirty).  fb is bitwise identical
+    # (the skipped lanes contributed exact zeros); only the dead lanes'
+    # slot order changes, which re-seats iid RNG draws (statistical-parity
+    # contract, core/rng.py).
+    dirty = ~mat_mask & ((acc[0] != 0.0) | (acc[1] != 0.0) | (acc[2] != 0.0))
+    num_dirty = jnp.sum(dirty).astype(jnp.int32)
+
     def _keys():
         if cfg.sort_key == "prim":
             return ray_sort_keys_prim_v3(
@@ -331,6 +345,11 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
               "morton_pos10": ray_sort_keys_pos10_v3}.get(
             cfg.sort_key, ray_sort_keys_v3)
         return kf(hp, state.ray_d, root_lo, root_hi, mat_mask)
+
+    def _keys_dirty():
+        # live (< 0x7FFFFFFE) < dirty dead (0x7FFFFFFE) < clean dead
+        # (0x7FFFFFFF, the key functions' inactive marker)
+        return jnp.where(dirty, jnp.int32(0x7FFFFFFE), _keys())
 
     if state_sorted:
         if cfg.reference_parity:
@@ -376,10 +395,10 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
             bundle = (hp, b9, a9, pbm, sp, onrm, od)
             if k_sort > 1:
                 bundle = jax.lax.cond(
-                    do_gen, lambda b: sort_pytree_by_key(_keys(), b),
+                    do_gen, lambda b: sort_pytree_by_key(_keys_dirty(), b),
                     lambda b: b, bundle)
             else:
-                bundle = sort_pytree_by_key(_keys(), bundle)
+                bundle = sort_pytree_by_key(_keys_dirty(), bundle)
             (p, b9, a9, pbm, sp, onrm, od) = bundle
             ray_d_p = oct_decode_v3(od)
             beta = rgb9e5_decode_v3(b9)
@@ -402,7 +421,7 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
             bundle = (state.pixel, hp, state.ray_d, state.normal,
                       state.prim, beta, acc, meta)
             (pixel, p, ray_d_p, normal, prim, beta, acc, meta) = \
-                sort_pytree_by_key(_keys(), bundle)
+                sort_pytree_by_key(_keys_dirty(), bundle)
             mat_mask = (meta >> 27) & 1 != 0
             src = (meta >> 15) & 0xFFF
             b_dec = meta & 0x7FFF
@@ -577,24 +596,17 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
             chs_tgt, chs_t = sh["chs_tgt"], sh["chs_t"]
 
     # ---- gen: refill dead slots with camera rays (render.cuh:250-275) -----
-    def _gen_block(_):
-        if state_sorted and not cfg.reference_parity:
-            # after the sort the continuing lanes are EXACTLY the prefix
-            # (dead lanes all carry the max key), so the exclusive prefix
-            # sum over gen_mask is plain arithmetic — drops a full-pool-
-            # width cumsum (log-passes) from every iteration.  Parity mode
-            # keeps the cumsum: limbo lanes sit interleaved with dead lanes
-            # in the suffix.
-            num_mat_g = jnp.sum(mat_mask).astype(jnp.int32)
-            gen_rank = jnp.maximum(
-                jnp.arange(n, dtype=jnp.int32) - num_mat_g, 0)
-        else:
-            gen_rank = jnp.cumsum(gen_mask) - gen_mask  # excl. prefix sum
-        cam_id = cam_start + gen_rank.astype(jnp.int32)
-        got_ray = gen_mask & (cam_id < cam_end)
+    blocked = (cfg.camera_order == "blocked"
+               or (cfg.camera_order == "auto" and cfg.num_samples <= 8))
+    gen_u, gen_v = draw_pair(_W_GEN)
+
+    def _gen_lanes(idx, num_mat_g):
+        """Camera-ray generation over lane indices ``idx`` (post-sort
+        positions; dead lanes are the suffix, so rank = idx - num_mat)."""
+        gen_rank = jnp.maximum(idx - num_mat_g, 0)
+        cam_id = cam_start + gen_rank
+        got_ray = (idx >= num_mat_g) & (cam_id < cam_end)
         pix_rank = jnp.minimum(cam_id // cfg.num_samples, cfg.num_pixels - 1)
-        blocked = (cfg.camera_order == "blocked"
-                   or (cfg.camera_order == "auto" and cfg.num_samples <= 8))
         if blocked:
             # rank -> pixel through a 16x16-block permutation (host-built
             # constant): consecutive sample ids map to compact screen
@@ -606,11 +618,69 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
             pix_new = pix_rank  # raw pixel-major sample ids
         ci = (pix_new % cfg.width).astype(jnp.float32)
         cj = (pix_new // cfg.width).astype(jnp.float32)
-        gen_u, gen_v = draw_pair(_W_GEN)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, idx[0], idx.shape[0]) \
+            if idx.shape[0] != n else a
+        cam_o, cam_d = camera.get_rays_v3((ci + sl(gen_u)) / cfg.width,
+                                          (cj + sl(gen_v)) / cfg.height)
+        return got_ray, pix_new, cam_o, cam_d
+
+    def _gen_block(_):
+        num_gen = jnp.sum(gen_mask).astype(jnp.int32)
+        if state_sorted and not cfg.reference_parity:
+            # after the sort the continuing lanes are EXACTLY the prefix
+            # (dead lanes all carry the max key), so the exclusive prefix
+            # sum over gen_mask is plain arithmetic — drops a full-pool-
+            # width cumsum (log-passes) from every iteration.  Parity mode
+            # keeps the cumsum: limbo lanes sit interleaved with dead lanes
+            # in the suffix.
+            num_mat_g = jnp.sum(mat_mask).astype(jnp.int32)
+            if n % 8 == 0:
+                # suffix-chunked: camera math runs only on the 1/8-chunks
+                # overlapping the REFILLABLE window [num_mat, num_mat +
+                # remaining-camera-rays) — at high occupancy that is the
+                # last chunk or two, and in the frame tail (camera ids
+                # exhausted) every chunk skips.  Skipped chunks keep
+                # got_ray=False / zeros, which every consumer masks.
+                csz = n // 8
+                win_end = num_mat_g + jnp.maximum(cam_end - cam_start, 0)
+
+                def zeros():
+                    zf = lambda: jnp.zeros(n, jnp.float32)
+                    return (jnp.zeros(n, bool), jnp.zeros(n, jnp.int32),
+                            (zf(), zf(), zf()), (zf(), zf(), zf()))
+
+                def gen_chunk(c, outs):
+                    def do(outs):
+                        idx = jnp.arange(csz, dtype=jnp.int32) + c * csz
+                        res = _gen_lanes(idx, num_mat_g)
+                        upd = lambda o, x: jax.lax.dynamic_update_slice_in_dim(
+                            o, x, c * csz, 0)
+                        return jax.tree_util.tree_map(upd, outs, res)
+
+                    return jax.lax.cond(((c + 1) * csz > num_mat_g)
+                                        & (c * csz < win_end), do,
+                                        lambda o: o, outs)
+
+                got_ray, pix_new, cam_o, cam_d = jax.lax.fori_loop(
+                    0, 8, gen_chunk, zeros())
+                return (got_ray, pix_new, cam_o, cam_d, num_gen)
+            idx = jnp.arange(n, dtype=jnp.int32)
+            got_ray, pix_new, cam_o, cam_d = _gen_lanes(idx, num_mat_g)
+            return (got_ray, pix_new, cam_o, cam_d, num_gen)
+        gen_rank = jnp.cumsum(gen_mask) - gen_mask  # excl. prefix sum
+        cam_id = cam_start + gen_rank.astype(jnp.int32)
+        got_ray = gen_mask & (cam_id < cam_end)
+        pix_rank = jnp.minimum(cam_id // cfg.num_samples, cfg.num_pixels - 1)
+        if blocked:
+            pix_new = jnp.asarray(_blocked_pixel_order(cfg.width,
+                                                       cfg.height))[pix_rank]
+        else:
+            pix_new = pix_rank
+        ci = (pix_new % cfg.width).astype(jnp.float32)
+        cj = (pix_new // cfg.width).astype(jnp.float32)
         cam_o, cam_d = camera.get_rays_v3((ci + gen_u) / cfg.width,
                                           (cj + gen_v) / cfg.height)
-        return (got_ray, pix_new, cam_o, cam_d,
-                jnp.sum(gen_mask).astype(jnp.int32))
+        return (got_ray, pix_new, cam_o, cam_d, num_gen)
 
     if k_sort > 1:
         # skip iterations refill nothing: dead lanes idle one iteration
@@ -641,6 +711,12 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
         # every chunk's overlap test false
         num_mat_i = jnp.where(do_gen, jnp.sum(mat_mask).astype(jnp.int32),
                               jnp.int32(n))
+        # window END: with the dirty key class the lanes still holding
+        # radiance are exactly [num_mat, num_mat + num_dirty) — chunks past
+        # them hold only already-flushed (all-zero) accumulators.  Parity
+        # mode keeps the 2-class keys, so its window end stays n.
+        flush_end = num_mat_i + num_dirty if not cfg.reference_parity \
+            else jnp.int32(n)
 
         def flush_chunk(c, fb):
             def do(fb):
@@ -650,7 +726,8 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
                 pix = jax.lax.dynamic_slice_in_dim(pixel, c * csz, csz)
                 return fb.at[pix].add(vals, mode="drop")
 
-            return jax.lax.cond((c + 1) * csz > num_mat_i, do,
+            return jax.lax.cond(((c + 1) * csz > num_mat_i)
+                                & (c * csz < flush_end), do,
                                 lambda fb: fb, fb)
 
         fb = jax.lax.fori_loop(0, 8, flush_chunk, fb)
