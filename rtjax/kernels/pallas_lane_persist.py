@@ -71,11 +71,11 @@ def _make_persist_closest_kernel(meta_vmem: bool = False, width: int = WIDTH):
 
   def kernel(*args):
     if meta_vmem:
-        o_ref, d_ref, t_ref, act_ref, nb_ref, lt_ref, *rest = args
+        o_ref, d_ref, t_ref, act_ref, nxt_ref, nb_ref, lt_ref, *rest = args
         cm_at, info_read = _vmem_meta(nb_ref, width=width)
     else:
-        (o_ref, d_ref, t_ref, act_ref, ni_ref, cm_ref, nb_ref, lt_ref,
-         *rest) = args
+        (o_ref, d_ref, t_ref, act_ref, nxt_ref, ni_ref, cm_ref, nb_ref,
+         lt_ref, *rest) = args
         cm_at, info_read = _smem_meta(cm_ref, ni_ref, width)
     (hit_ref, tout_ref, prim_ref, nx_ref, ny_ref, nz_ref,
      st_ref, stack_ref, q_ref, xch_ref, stage_ref) = rest
@@ -226,7 +226,18 @@ def _make_persist_closest_kernel(meta_vmem: bool = False, width: int = WIDTH):
                 ny_ref[pl.ds(r, 1), :] = ny[s:s + 1, :]
                 nz_ref[pl.ds(r, 1), :] = nz[s:s + 1, :]
 
-            tin = jnp.where(move, ti[s] + 1, ti[s])
+            # dead-row skip: nxt_ref[s * n_tiles + t] holds the first tile
+            # >= t whose row t*SUBLANES+s has any ACTIVE lane (n_tiles if
+            # none) — walkers jump straight over dead-row runs at one
+            # scalar SMEM read, instead of paying the staging loads +
+            # result stores + a shared walk round per dead row.  Skipped
+            # rows are never stored; the host wrapper masks every output
+            # by ``active``.
+            base = ti[s] + 1
+            nxt_v = nxt_ref[s * n_tiles + jnp.minimum(base, n_tiles - 1)]
+            tin = jnp.where(move,
+                            jnp.where(base < n_tiles, nxt_v,
+                                      jnp.int32(n_tiles)), ti[s])
             load = move & (tin < n_tiles)
             new_ti.append(tin)
             loads.append(load)
@@ -286,11 +297,12 @@ def _make_persist_anyhit_kernel(meta_vmem: bool = False, width: int = WIDTH):
 
   def kernel(*args):
     if meta_vmem:
-        o_ref, d_ref, t_ref, act_ref, ex_ref, nb_ref, lt_ref, *rest = args
+        (o_ref, d_ref, t_ref, act_ref, ex_ref, nxt_ref, nb_ref, lt_ref,
+         *rest) = args
         cm_at, info_read = _vmem_meta(nb_ref, width=width)
     else:
-        (o_ref, d_ref, t_ref, act_ref, ex_ref, ni_ref, cm_ref, nb_ref,
-         lt_ref, *rest) = args
+        (o_ref, d_ref, t_ref, act_ref, ex_ref, nxt_ref, ni_ref, cm_ref,
+         nb_ref, lt_ref, *rest) = args
         cm_at, info_read = _smem_meta(cm_ref, ni_ref, width)
     (occ_ref, st_ref, stack_ref, q_ref, xch_ref, stage_ref) = rest
     n_rows = occ_ref.shape[0]
@@ -433,7 +445,13 @@ def _make_persist_anyhit_kernel(meta_vmem: bool = False, width: int = WIDTH):
                 occ_row = (occ[s:s + 1, :] != 0) & (act_row != 0)
                 occ_ref[pl.ds(r, 1), :] = occ_row.astype(jnp.int32)
 
-            tin = jnp.where(move, ti[s] + 1, ti[s])
+            # dead-row skip (see the closest-hit kernel): jump over rows
+            # with no active lane via the precomputed next-live-tile table
+            base = ti[s] + 1
+            nxt_v = nxt_ref[s * n_tiles + jnp.minimum(base, n_tiles - 1)]
+            tin = jnp.where(move,
+                            jnp.where(base < n_tiles, nxt_v,
+                                      jnp.int32(n_tiles)), ti[s])
             load = move & (tin < n_tiles)
             new_ti.append(tin)
             loads.append(load)
@@ -487,6 +505,23 @@ def _persist_scratch():
             pltpu.VMEM((SUBLANES, 128), jnp.float32)]
 
 
+def _next_live_tiles(act):
+    """``[SUBLANES * n_tiles]`` int32: for walker ``s`` and tile ``t``, the
+    first tile ``u >= t`` whose row ``u * SUBLANES + s`` has any active
+    lane (``n_tiles`` if none).  One suffix cummin on [16, n_tiles] —
+    fuses into the act-row packing.  Lets the kernels jump over dead-row
+    runs at one scalar SMEM read per transition instead of paying the
+    staging loads + result stores + a shared walk round per dead row
+    (measured ~2-3 us/row: an all-dead 1024-row launch cost ~4.8 ms,
+    benchmarks/repass_split.py)."""
+    n_rows = act.shape[0]
+    n_tiles = n_rows // SUBLANES
+    live = (jnp.sum(act, axis=1) > 0).reshape(n_tiles, SUBLANES).T
+    tidx = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, n_tiles), 1)
+    cand = jnp.where(live, tidx, jnp.int32(n_tiles))
+    return jax.lax.cummin(cand[:, ::-1], axis=1)[:, ::-1].reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("interpret", "with_stats", "meta_vmem"))
 def persist_traverse_closest(tables: WideTables, origin, direction, tmax,
                              active, interpret: bool = False,
@@ -513,13 +548,16 @@ def persist_traverse_closest(tables: WideTables, origin, direction, tmax,
     tm = _pad(tmax, n_pad, 0.0).reshape(n_rows, 128)
     act = _pad(active.astype(jnp.int32), n_pad, 0).reshape(n_rows, 128)
 
+    nxt = _next_live_tiles(act)
+
     shp = (n_rows, 128)
     if meta_vmem:
-        in_specs = [_VMEM] * 6
-        ins = (o, d, tm, act, tables.node_bounds, tables.leaf_tris)
+        in_specs = [_VMEM] * 4 + [_SMEM] + [_VMEM] * 2
+        ins = (o, d, tm, act, nxt, tables.node_bounds, tables.leaf_tris)
     else:
-        in_specs = [_VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _VMEM, _VMEM]
-        ins = (o, d, tm, act, tables.node_info, tables.child_meta,
+        in_specs = [_VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _SMEM,
+                    _VMEM, _VMEM]
+        ins = (o, d, tm, act, nxt, tables.node_info, tables.child_meta,
                tables.node_bounds, tables.leaf_tris)
     out_shape = [jax.ShapeDtypeStruct(shp, jnp.int32),
                  jax.ShapeDtypeStruct(shp, jnp.float32),
@@ -539,12 +577,20 @@ def persist_traverse_closest(tables: WideTables, origin, direction, tmax,
 
     flat = lambda a: a.reshape(n_pad)[:n]
     hit, t, prim, nx, ny, nz, st = outs
-    hit = flat(hit) != 0
-    prim = flat(prim)
-    normal = (flat(nx), flat(ny), flat(nz))
+    # rows with no active lane are skipped by the walkers (never stored),
+    # so every output is masked to the stored-dead-lane values here
+    # (hit=0, t=BIG, prim=-1, normal=0) — bit-identical to the pre-skip
+    # kernel for active lanes AND for dead lanes in visited rows.
+    hit = (flat(hit) != 0) & active
+    t = jnp.where(active, flat(t), jnp.float32(BIG))
+    prim = jnp.where(hit, flat(prim), -1)
+    zf = jnp.float32(0.0)
+    normal = (jnp.where(active, flat(nx), zf),
+              jnp.where(active, flat(ny), zf),
+              jnp.where(active, flat(nz), zf))
     if not as_v3:
         normal = jnp.stack(normal, axis=-1)
-    out = (hit, flat(t), prim, normal)
+    out = (hit, t, prim, normal)
     if with_stats:
         out = out + ((st[0], st[1], st[2]),)
     return out
@@ -578,14 +624,16 @@ def persist_traverse_anyhit(tables: WideTables, origin, direction, tmax,
     act = _pad(active.astype(jnp.int32), n_pad, 0).reshape(n_rows, 128)
     ex = _pad(exclude, n_pad, -1).reshape(n_rows, 128)
 
+    nxt = _next_live_tiles(act)
+
     shp = (n_rows, 128)
     if meta_vmem:
-        in_specs = [_VMEM] * 7
-        ins = (o, d, tm, act, ex, tables.node_bounds, tables.leaf_tris)
+        in_specs = [_VMEM] * 5 + [_SMEM] + [_VMEM] * 2
+        ins = (o, d, tm, act, ex, nxt, tables.node_bounds, tables.leaf_tris)
     else:
-        in_specs = [_VMEM, _VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _VMEM,
-                    _VMEM]
-        ins = (o, d, tm, act, ex, tables.node_info, tables.child_meta,
+        in_specs = [_VMEM, _VMEM, _VMEM, _VMEM, _VMEM, _SMEM, _SMEM, _SMEM,
+                    _VMEM, _VMEM]
+        ins = (o, d, tm, act, ex, nxt, tables.node_info, tables.child_meta,
                tables.node_bounds, tables.leaf_tris)
     occ, st = pl.pallas_call(
         _make_persist_anyhit_kernel(meta_vmem, tables.width),
@@ -598,7 +646,9 @@ def persist_traverse_anyhit(tables: WideTables, origin, direction, tmax,
             vmem_limit_bytes=_vmem_limit(tables, n_pad)),
         interpret=interpret,
     )(*ins)
-    occluded = occ.reshape(n_pad)[:n] != 0
+    # skipped (all-dead) rows are never stored; mask to the stored dead-
+    # lane value (occ=0)
+    occluded = (occ.reshape(n_pad)[:n] != 0) & active
     if with_stats:
         return occluded, (st[0], st[1], st[2])
     return occluded
