@@ -62,7 +62,7 @@ class RenderConfig:
     # occupancy guard (< 3/4 pool live) forces a refill iteration so the
     # frame tail never starves.  Saves the sort (~1.3 ms at 2^18) + flush +
     # camera-gen cost on skipped iterations; only active on the compact
-    # sorted bundle (non-parity); window shading is disabled when > 1.
+    # sorted bundle (non-parity).
     # 0 = auto: k=2 on trivial-BVH scenes (<= 1024 prims, floor-dominated:
     # config2 97.75 vs 91.6 Mrays/s), k=1 where traversal dominates and
     # stale packet grouping costs walk rounds (config1 16.42 vs 15.07;

@@ -548,17 +548,18 @@ def wavefront_step(scene: Scene, camera: Camera, cfg: RenderConfig, key,
                 draw_pair(_W_LIGHT_UV),
                 (b2u1, b2u2, b2u1))
     C = cfg.shade_chunks_effective
-    if state_sorted and C > 1 and n % C == 0 and k_sort == 1:
-        # (sort_every > 1 disables the window: on skip iterations the live
-        # lanes are a subset of the PREVIOUS prefix, not the first num_mat
-        # slots, so a num_mat-wide window would cut off live lanes)
-        # prefix-windowed shading: continuing lanes are a contiguous prefix
-        # after the sort, so shade only the ceil(num_mat/chunk) chunks that
-        # overlap it (traced trip count; the loop body compiles ONCE).
-        # Beyond-window lanes keep zeros — every consumer below is masked.
+    if state_sorted and C > 1 and n % C == 0:
+        # prefix-windowed shading: shade only the chunks overlapping
+        # [0, win) where win = last live index + 1.  On sorted iterations
+        # win == num_mat (live lanes are exactly the prefix; dirty dead
+        # lanes behind it don't shade); on sort_every SKIP iterations the
+        # live lanes are a scattered subset of the previous prefix, and
+        # the max-index reduction still bounds them exactly.  Beyond-
+        # window lanes keep zeros — every consumer below is masked.
         csz = n // C
-        num_mat_s = jnp.sum(mat_mask).astype(jnp.int32)
-        nchunks = (num_mat_s + csz - 1) // csz
+        lane_idx = jnp.arange(n, dtype=jnp.int32)
+        win = jnp.max(jnp.where(mat_mask, lane_idx, -1)) + 1
+        nchunks = (win + csz - 1) // csz
 
         def zeros_out():
             zf = lambda: jnp.zeros(n, jnp.float32)
