@@ -77,6 +77,12 @@ class RenderConfig:
     # candidates remain).  "auto" selects per measurement (see
     # render/trace.py).  Ignored for non-instanced scenes.
     two_level: str = "auto"
+    # two-level strategy for the ANY-HIT (shadow/occlusion) channel
+    # specifically: "auto" follows the measured default (see
+    # render/trace.py), "repass"/"kernel" force.  Shadow rays early-out
+    # on first hit, so the in-kernel tile-union walk and the multi-pass
+    # re-dispatch trade off differently than for closest-hit.
+    two_level_anyhit: str = "auto"
     # sort key: "morton" (octant-major origin cell), "morton_pos"
     # (position-major origin cell), "prim" (octant-major origin triangle),
     # "prim_pos" (position-major origin triangle), "normal_pos"

@@ -626,8 +626,12 @@ def trace_anyhit(scene, cfg, mode, interp, o, d, tmax, exclude, active,
         o = v3.from_array(o)
         d = v3.from_array(d)
     inst = getattr(scene, "instances", None)
+    tl_ah = getattr(cfg, "two_level_anyhit", "auto")
+    if tl_ah == "auto":
+        # follow the closest-hit strategy by default; A/B in RESULTS.md
+        tl_ah = _resolve_two_level(scene, cfg)
     if inst is not None and mode == "pallas" and \
-            _resolve_two_level(scene, cfg) == "repass" and _repass_ok(scene):
+            tl_ah == "repass" and _repass_ok(scene):
         return _repass_anyhit(scene, cfg, interp, o, d, tmax, exclude,
                               active, with_stats)
     if inst is not None and mode == "pallas" and scene.inst_tables is not None:
